@@ -1,0 +1,305 @@
+"""Top-k BM25 query engine over a built index.
+
+Query lifecycle (mirrors the reference's local search slice,
+``/root/reference/daemon/src/api/local_search.rs:3-18`` →
+``daemon/src/index/inner_im.rs:90-104``, re-expressed Spark-first —
+SURVEY.md §4 physical plan):
+
+driver:  parse AST → bloom gate (M1, ``matching.rs:19-41``) → per-term
+         bucket routing (term-hash partition pruning + per-bucket bloom)
+stage A: scan postings WHERE tb IN (...) AND term IN (...)   [partition
+         pruning + parquet predicate pushdown]
+stage B: decode varint blocks (Arrow-batched mapInPandas, NumPy inside);
+         optional rank-safe block-max skipping for disjunctive queries
+stage C: per-doc AST fold compiled to Catalyst expressions (fold.py)
+stage D: global top-k: orderBy(score desc, doc_id asc).limit(k)
+         → TakeOrderedAndProject
+stage E: broadcast-join the k winners back to doc_dict for display fields
+
+Per-term idf is computed on the driver with NumPy from collected (term, df)
+rows and injected as float64 literals, so engine and oracle share the exact
+same ln() bits (float-parity note in oracle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import BM25_B, BM25_K1, FILTER_BITS
+from ..hashword import filter_get
+from ..index.build import IndexPaths
+from ..index.codec import decode_postings
+from ..murmur import term_bucket
+from ..oracle import bm25_idf
+from ..query.ast import Filter, NAmong, Not, Query, QueryComp, Word
+from ..query.parser import parse_query
+from .fold import compile_fold, is_max_fold
+
+RESULT_SCHEMA = "doc_id long, score double, repo string, path string, commit string, lang string"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        stats = spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.doc_dict = spark.read.parquet(self.paths.doc_dict)
+        self.postings = spark.read.parquet(self.paths.postings)
+        # driver-side summaries (tiny): per-bucket term blooms + meta bloom
+        self.bucket_blooms: dict[int, np.ndarray] = {}
+        self.meta_bloom = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
+        for r in spark.read.parquet(self.paths.summaries).collect():
+            filt = np.frombuffer(r["filter"], dtype=np.uint8)
+            if r["kind"] == "meta":
+                self.meta_bloom = filt
+            else:
+                self.bucket_blooms[int(r["tb"])] = filt
+        self.n_buckets = (max(self.bucket_blooms) + 1) if self.bucket_blooms else 1
+        blooms = list(self.bucket_blooms.values())
+        base = np.bitwise_or.reduce(blooms) if blooms else np.zeros(FILTER_BITS // 8, np.uint8)
+        self.global_bloom = np.bitwise_or(base, self.meta_bloom)
+
+    # --- M1 bloom gate (matching.rs:19-41 semantics, u32 sum/gate) ------
+    def _bloom_match_score(self, comp: QueryComp, filt: np.ndarray, optimistic: bool = True) -> int:
+        """Driver-side query-vs-summary match score.
+
+        ``optimistic=True`` (the pruning mode) treats Not subtrees as always
+        possibly matching: a corpus-wide bloom can prove a term absent from
+        every doc, but never that some doc lacks it — the reference's literal
+        M1 would wrongly skip ``a AND NOT b`` whenever b exists anywhere
+        (that is acceptable for its p2p routing, not for doc-level results).
+        ``optimistic=False`` reproduces matching.rs:19-41 exactly (used by
+        the parity tests)."""
+        if isinstance(comp, Word):
+            return 1 if filter_get(filt, comp.word) else 0
+        if isinstance(comp, Filter):
+            return 1 if filter_get(filt, f"{comp.name}={comp.value}") else 0
+        if isinstance(comp, Not):
+            if optimistic:
+                return 1
+            return 1 if self._bloom_match_score(comp.comp, filt, optimistic) == 0 else 0
+        if isinstance(comp, NAmong):
+            total = 0
+            matching = 0
+            for c in comp.among:
+                s = self._bloom_match_score(c, filt, optimistic)
+                total += s
+                if s > 0:
+                    matching += 1
+            return total if matching >= comp.n else 0
+        raise TypeError(type(comp))
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    # --------------------------------------------------------------------
+    def search(self, query: str | Query, k: int = 10, wand: str = "auto") -> DataFrame:
+        """Top-k results: (doc_id, score, repo, path, commit, lang)."""
+        if isinstance(query, str):
+            query = parse_query(query)
+        # driver-side bloom short-circuit (inner_im.rs:91-94)
+        if self._bloom_match_score(query.root, self.global_bloom) == 0:
+            return self._empty_result()
+
+        all_terms = list(dict.fromkeys(query.terms()))
+        pos_filters = query.positive_filters()
+
+        # route terms to buckets; per-bucket bloom drops absent terms early
+        scan_terms: list[str] = []
+        buckets: set[int] = set()
+        for t in all_terms:
+            tb = term_bucket(t, self.n_buckets)
+            bloom = self.bucket_blooms.get(tb)
+            if bloom is not None and filter_get(bloom, t):
+                scan_terms.append(t)
+                buckets.add(tb)
+
+        has_filter_cands = any(n in self.doc_dict.columns for n, _ in pos_filters)
+        if not scan_terms and not has_filter_cands:
+            return self._empty_result()
+
+        scored: DataFrame | None = None
+        term_col: dict[str, str] = {}
+        if scan_terms:
+            pruned = self.postings.filter(
+                F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
+            )
+            df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
+            use_wand = (wand == "on") or (
+                wand == "auto" and is_max_fold(query.root) and not pos_filters
+            )
+            if df_map:
+                decoded = self._decode(pruned, k if use_wand else None)
+                scored, term_col = self._score(decoded, df_map)
+
+        if scored is None and not has_filter_cands:
+            return self._empty_result()
+        return self._finish(query, scored, term_col, pos_filters, k)
+
+    # --------------------------------------------------------------------
+    def _decode(self, pruned: DataFrame, wand_k: int | None) -> DataFrame:
+        """Arrow-batched posting decode; the inner loop is NumPy over blocks.
+
+        With ``wand_k`` set (rank-safe only for max-fold queries), blocks are
+        visited in descending block-max order and skipped once >= k docs with
+        saturation >= the block's upper bound are known — block-max WAND
+        specialized to per-term lists (SURVEY.md §4 O12)."""
+        cols = [
+            "term", "ids", "tfs", "dls",
+            "block_firsts", "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
+        ]
+        src = pruned.select(*cols)
+        k1, b, avgdl = BM25_K1, BM25_B, self.avgdl
+
+        def decode_map(batches):
+            for pdf in batches:
+                frames = []
+                for r in pdf.itertuples():  # one row per term — tiny row count
+                    keep = None
+                    if wand_k is not None:
+                        keep = _select_blocks_topk(r, wand_k, k1, b, avgdl)
+                    ids, tfs, dls = decode_postings(
+                        r.ids, r.tfs, r.dls, r.block_firsts, r.block_lens,
+                        keep, r.ids_offs, r.tfs_offs, r.dls_offs,
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "term": np.repeat(r.term, ids.size),
+                                "doc_id": ids,
+                                "tf": tfs,
+                                "dl": dls,
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        return src.mapInPandas(decode_map, "term string, doc_id long, tf long, dl long")
+
+    # --------------------------------------------------------------------
+    def _score(self, decoded: DataFrame, df_map: dict[str, int]) -> tuple[DataFrame, dict[str, str]]:
+        """Per-(doc, term) BM25 score (JVM-side, pinned float order identical
+        to oracle.term_scores), then pivot to per-doc term-score columns via
+        conditional aggregation — whole-stage codegen, no Python."""
+        terms = sorted(df_map)
+        idf_col = F.lit(0.0)
+        for t in terms:
+            idf_col = F.when(F.col("term") == F.lit(t), F.lit(bm25_idf(self.n_docs, df_map[t]))).otherwise(idf_col)
+        tf_d = F.col("tf").cast("double")
+        dl_d = F.col("dl").cast("double")
+        K = F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * dl_d) / F.lit(self.avgdl))
+        s = decoded.withColumn("s", idf_col * (tf_d / (tf_d + K)))
+        term_col = {t: f"_s_{i}" for i, t in enumerate(terms)}
+        aggs = [
+            F.coalesce(
+                F.max(F.when(F.col("term") == F.lit(t), F.col("s"))), F.lit(0.0)
+            ).alias(term_col[t])
+            for t in terms
+        ]
+        return s.groupBy("doc_id").agg(*aggs), term_col
+
+    # --------------------------------------------------------------------
+    def _finish(
+        self,
+        query: Query,
+        scored: DataFrame | None,
+        term_col: dict[str, str],
+        pos_filters,
+        k: int,
+    ) -> DataFrame:
+        # candidate union (M2, matching.rs:70-84): POSITIVE term postings ∪
+        # positive filter lists. The pivot table also carries NOT-subtree
+        # terms (needed by the fold), so restrict to docs matching at least
+        # one positive term.
+        cand = None
+        if scored is not None:
+            pos_cols = [
+                term_col[t]
+                for t in dict.fromkeys(query.positive_terms())
+                if t in term_col
+            ]
+            if pos_cols:
+                pred = None
+                for c in pos_cols:
+                    p = F.col(c) > F.lit(0.0)
+                    pred = p if pred is None else (pred | p)
+                cand = scored.filter(pred).select("doc_id")
+        for name, value in pos_filters:
+            if name in self.doc_dict.columns:
+                ids = self.doc_dict.filter(F.col(name) == F.lit(value)).select("doc_id")
+                cand = ids if cand is None else cand.unionByName(ids)
+        if cand is None:
+            return self._empty_result()
+        cand = cand.distinct()
+        if scored is not None:
+            cand = cand.join(scored, "doc_id", "left")
+
+        meta_names = _collect_filter_names(query.root)
+        if meta_names:
+            meta_cols = ["doc_id"] + [c for c in ("lang", "repo") if c in self.doc_dict.columns]
+            cand = cand.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
+
+        term_cols = {
+            t: F.coalesce(F.col(c), F.lit(0.0)) for t, c in term_col.items()
+        }
+        meta_exprs = {n: F.col(n) for n in ("lang", "repo") if n in cand.columns}
+        gate, score = compile_fold(query.root, term_cols, meta_exprs)
+        topk = (
+            cand.withColumn("score", score)
+            .filter(gate)
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        # broadcast the k winners into the dictionary join (SURVEY.md §4 O3/O5)
+        out = self.doc_dict.join(F.broadcast(topk), "doc_id")
+        return out.select("doc_id", "score", "repo", "path", "commit", "lang").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+
+def _collect_filter_names(comp: QueryComp) -> set[str]:
+    if isinstance(comp, Filter):
+        return {comp.name}
+    if isinstance(comp, Not):
+        return _collect_filter_names(comp.comp)
+    if isinstance(comp, NAmong):
+        out: set[str] = set()
+        for c in comp.among:
+            out |= _collect_filter_names(c)
+        return out
+    return set()
+
+
+def _select_blocks_topk(r, k: int, k1: float, b: float, avgdl: float) -> np.ndarray:
+    """Greedy block-max selection: visit blocks in descending upper bound,
+    stop once >= k saturations >= the next bound are known. Exact block-max
+    values (computed at build time with identical float math) make this
+    rank-safe: every skipped doc is strictly beaten, within its term, by at
+    least k docs — and under the max-fold, by the same k docs globally."""
+    bmax = np.asarray(r.block_max, dtype=np.float64)
+    nb = bmax.size
+    keep = np.zeros(nb, dtype=bool)
+    order = np.argsort(-bmax, kind="stable")
+    best = np.empty(0, dtype=np.float64)
+    for blk in order:
+        if best.size >= k and bmax[blk] < best[best.size - k]:
+            break
+        keep[blk] = True
+        one = np.zeros(nb, dtype=bool)
+        one[blk] = True
+        _, tfs, dls = decode_postings(
+            r.ids, r.tfs, r.dls, r.block_firsts, r.block_lens,
+            one, r.ids_offs, r.tfs_offs, r.dls_offs,
+        )
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        sat = tf / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        best = np.sort(np.concatenate((best, sat)))
+    return keep

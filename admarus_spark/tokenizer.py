@@ -1,0 +1,70 @@
+"""Tokenizer with exact parity to the reference.
+
+Reference rule (``/root/reference/daemon/src/documents.rs:48-52``, restated at
+``:134``, ``:231-234`` and ``webui/src/result/scores.rs:38-43``)::
+
+    text.to_lowercase()
+        .split(|c: char| !c.is_ascii_alphanumeric())
+        .filter(|w| w.len() >= 3)
+
+i.e. lowercase the whole text, split on every char that is NOT ASCII
+``[0-9a-z]`` (after lowercasing, ASCII uppercase is gone), keep tokens of
+length >= 3, KEEP duplicates (term frequency comes from repetition).
+
+Two implementations that must agree exactly:
+
+- :func:`tokenize` — pure Python, used by the NumPy oracle.
+- :func:`tokenize_series` — vectorized pandas implementation used inside the
+  Spark ``pandas_udf`` (Arrow-batched; no per-row Python).
+
+The equivalent ANSI-SQL (DuckDB oracle) expression is
+``list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+TOKEN_SPLIT_RE = re.compile(r"[^0-9a-z]+")
+MIN_TOKEN_LEN = 3
+
+# SQL fragment (DuckDB + Spark SQL compatible) producing the token array for
+# a text column; kept here so queries and oracles share one definition.
+SQL_TOKENS_EXPR = (
+    "filter(split(lower({col}), '[^0-9a-z]+'), t -> length(t) >= 3)"  # Spark
+)
+DUCKDB_TOKENS_EXPR = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'),"
+    " t -> length(t) >= 3)"
+)
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference-parity tokenizer (pure Python; oracle side)."""
+    return [t for t in TOKEN_SPLIT_RE.split(text.lower()) if len(t) >= MIN_TOKEN_LEN]
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized tokenizer over a pandas Series of strings.
+
+    Returns a Series of ``list[str]``. Used inside the Spark pandas UDF; the
+    hot loop is pandas' C string machinery, not per-row Python.
+    """
+    lowered = texts.fillna("").str.lower()
+    split = lowered.str.split(TOKEN_SPLIT_RE)
+    # length filter: minimal per-list comprehension over already-split tokens
+    return split.map(lambda toks: [t for t in toks if len(t) >= MIN_TOKEN_LEN])
+
+
+def make_tokenize_udf():
+    """Build the Spark pandas UDF lazily (keeps pyspark import optional)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize_udf(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    return tokenize_udf
