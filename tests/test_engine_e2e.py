@@ -1,0 +1,118 @@
+"""End-to-end: Spark engine must be rank-identical (doc ids AND float64
+scores, bit-for-bit) to the NumPy oracle on the reference query set
+(FIXTURES.md §3) plus engine-stress queries."""
+
+import shutil
+
+import pytest
+
+from admarus_spark.index import checkpoint as ckpt
+from admarus_spark.index.build import IndexBuilder
+from admarus_spark.search.engine import SearchEngine
+
+MOVIES_QUERIES = [
+    "hunger",                       # kamilata/tests/search.rs:57
+    "perfectly matching",           # kamilata/tests/priorities.rs:74,87 (quick-OR!)
+    "hunger AND games",
+    "hunger / games",
+    "hunger + fire",
+    "survival AND NOT hunger",
+    "2(hunger, games, fire)",
+    "3(hunger, games, fire, survival)",
+    "lang=en AND hunger",
+    "repo=movies AND fire",
+    "lang=en",
+    "survival rebellion hope",
+    "NOT hunger",
+    "nosuchterm",
+    "aa bb",                        # all sub-3-char -> empty
+]
+
+DOCS_QUERIES = [
+    "license",                      # hot term (>=50% of docs: skew fixture)
+    "parser",
+    "license AND parser",           # hot ∧ mid
+    "rareterm000063z",              # unique rare term
+    "license AND rareterm000063z",  # hot ∧ rare
+    "parser lexer bloom",           # quick-OR
+    "license / parser / bloom",
+    "2(parser, lexer, bloom)",
+    "parser AND NOT bloom",
+    "lang=python AND bloom",
+    "camelcase",                    # mixed-case source token
+    "todo",
+    "123 456",                      # numeric tokens
+    "if a of",                      # tokenizer-drop -> empty
+    "license AND NOT license",      # contradiction -> empty
+]
+
+
+def run_parity(engine, oracle, queries, k=10, wand="auto"):
+    fails = []
+    for q in queries:
+        got = [(r["doc_id"], r["score"]) for r in engine.search(q, k, wand=wand).collect()]
+        want = oracle.search(q, k)
+        if got != want:
+            fails.append((q, got[:3], want[:3]))
+    assert not fails, fails
+
+
+def test_movies_parity(movies_engine, movies_oracle):
+    run_parity(movies_engine, movies_oracle, MOVIES_QUERIES)
+
+
+def test_docs_parity(docs_engine, docs_oracle):
+    run_parity(docs_engine, docs_oracle, DOCS_QUERIES)
+
+
+def test_docs_parity_wand_off(docs_engine, docs_oracle):
+    run_parity(docs_engine, docs_oracle, DOCS_QUERIES, wand="off")
+
+
+def test_wand_rank_safe_large_k(docs_engine, docs_oracle):
+    # WAND block skipping must stay exact at several k values
+    for k in (1, 3, 25, 200):
+        run_parity(docs_engine, docs_oracle, ["license", "parser lexer bloom"], k=k)
+
+
+def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
+    """Same corpus indexed with different bucket/salt/partition settings
+    must produce identical query results (SURVEY.md §5 test plan b)."""
+    d = str(tmp_path / "idx_alt")
+    IndexBuilder(spark, d, n_buckets=3, salt_chunks=1).build(
+        spark.createDataFrame(docs_pdf).repartition(17), input_token="alt"
+    )
+    eng = SearchEngine(spark, d)
+    run_parity(eng, docs_oracle, ["license", "license AND parser", "2(parser, lexer, bloom)"])
+
+
+def test_resume_skips_completed_stages(spark, movies_pdf, tmp_path):
+    d = str(tmp_path / "idx_resume")
+    b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
+    docs = spark.createDataFrame(movies_pdf)
+    b.build(docs, input_token="r1")
+    s1 = b.metrics["stage1_tokenize"]["wall_clock_completed"]
+    # stage2 invalidated -> only stages 2,3 re-run; stage1 output reused
+    ckpt.invalidate(d, "stage2_postings")
+    b.build(docs, input_token="r1")
+    assert b.metrics["stage1_tokenize"]["wall_clock_completed"] == s1
+    eng = SearchEngine(spark, d)
+    assert eng.search("hunger", 5).count() == 5
+
+
+def test_sha_validation_excludes_rows(spark, movies_pdf, tmp_path):
+    d = str(tmp_path / "idx_sha")
+    bad = movies_pdf.copy()
+    bad.loc[3, "content_sha256"] = "0" * 64
+    b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
+    b.build(spark.createDataFrame(bad), input_token="sha")
+    m = b.metrics["stage1_tokenize"]
+    assert m["rows_invalid_sha"] == 1
+    assert m["n_docs"] == len(movies_pdf) - 1
+
+
+def test_result_schema(movies_engine):
+    df = movies_engine.search("hunger", 3)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "score", "repo", "path", "commit", "lang",
+    ]
