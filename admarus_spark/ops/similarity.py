@@ -1,0 +1,187 @@
+"""Similarity search over the embeddings table (vec_id, embedding float[64],
+label).
+
+- brute-force cosine top-k (the exactness baseline)
+- sign-LSH bucketing with data-derived hyperplanes (deterministic: the
+  embeddings of vec ids 1..NB_PLANES serve as planes — no RNG parity issues
+  between engines), plus a bucketed ANN top-k
+- cosine near-dup pairs above a threshold
+
+Float parity: elements are cast to float64 before any arithmetic on both
+sides; dot products are left-fold sums; outputs round to 6 dp, absorbing
+summation-order ulp noise while remaining far finer than real sim gaps.
+
+Scale notes: brute force is a broadcast of ONE query vector against a scan
+(fine at any corpus size for single queries); the near-dup pair join is the
+O(n^2) baseline — the LSH-bucketed variant is the scale path (candidates
+only within buckets). For batch k-NN at 10^12 scale you'd use IVF with
+k-means centroids; the bucket-join plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 10
+NB_PLANES = 6
+NEARDUP_THRESHOLD = 0.35
+QUERY_VEC_ID = 0
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_DOT_DUCK = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+
+def _cos_duck(a: str, b: str) -> str:
+    dot = _DOT_DUCK.format(a=a, b=b)
+    na = _DOT_DUCK.format(a=a, b=a)
+    nb = _DOT_DUCK.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+# ----------------------------------------------------------------------
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors of the query vector (vec_id 0)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, round({_cos_duck('e.v', 'q.qv')}, 6) AS sim_r
+FROM e, q WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY sim_r DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ----------------------------------------------------------------------
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket per vector from NB_PLANES data-derived hyperplanes."""
+    e = _emb(spark, sf_dir)
+    planes = (
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NB_PLANES))
+        .select(F.col("vec_id").alias("p"), F.col("v").alias("pv"))
+    )
+    signs = (
+        e.crossJoin(F.broadcast(planes))
+        .withColumn("bit", F.when(_dot(F.col("v"), F.col("pv")) > 0, 1).otherwise(0))
+        .withColumn("contrib", F.expr("shiftleft(CAST(bit AS BIGINT), CAST(p - 1 AS INT))"))
+    )
+    return signs.groupBy("vec_id").agg(F.sum("contrib").cast("long").alias("bucket"))
+
+
+LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (SELECT vec_id AS p, v AS pv FROM e WHERE vec_id BETWEEN 1 AND {NB_PLANES}),
+signs AS (
+  SELECT e.vec_id,
+         CASE WHEN {_DOT_DUCK.format(a='e.v', b='planes.pv')} > 0 THEN 1 ELSE 0 END AS bit,
+         p
+  FROM e, planes
+)
+SELECT vec_id, sum(CAST(bit AS BIGINT) << CAST(p - 1 AS INT))::BIGINT AS bucket
+FROM signs GROUP BY vec_id
+"""
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: top-k within the query vector's LSH bucket (the scale path —
+    candidates shrink ~2^NB_PLANES-fold; recall traded for bounded work)."""
+    e = _emb(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir)
+    eb = e.join(b, "vec_id")
+    qb = eb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        eb.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
+LSH_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (SELECT vec_id AS p, v AS pv FROM e WHERE vec_id BETWEEN 1 AND {NB_PLANES}),
+signs AS (
+  SELECT e.vec_id,
+         CASE WHEN {_DOT_DUCK.format(a='e.v', b='planes.pv')} > 0 THEN 1 ELSE 0 END AS bit, p
+  FROM e, planes
+),
+buckets AS (
+  SELECT vec_id, sum(CAST(bit AS BIGINT) << CAST(p - 1 AS INT))::BIGINT AS bucket
+  FROM signs GROUP BY vec_id
+),
+q AS (
+  SELECT e.v AS qv, b.bucket AS qbucket FROM e JOIN buckets b USING (vec_id)
+  WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id, round({_cos_duck('e.v', 'q.qv')}, 6) AS sim_r
+FROM e JOIN buckets b USING (vec_id), q
+WHERE b.bucket = q.qbucket AND e.vec_id != {QUERY_VEC_ID}
+ORDER BY sim_r DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ----------------------------------------------------------------------
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (O(n^2) baseline)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_r", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim_r") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "sim_r")
+    )
+
+
+NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_duck('a.v', 'b.v')}, 6) AS sim_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_cos_duck('a.v', 'b.v')}, 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": cosine_topk,
+    "sim_lsh_buckets": lsh_buckets,
+    "sim_lsh_topk": lsh_topk,
+    "sim_neardup_pairs": neardup_pairs,
+}
+
+ORACLES = {
+    "sim_cosine_topk": COSINE_TOPK_SQL,
+    "sim_lsh_buckets": LSH_BUCKETS_SQL,
+    "sim_lsh_topk": LSH_TOPK_SQL,
+    "sim_neardup_pairs": NEARDUP_SQL,
+}
