@@ -85,6 +85,34 @@ def make_docs_corpus(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
     )
 
 
+def make_bench_corpus(n_docs: int = 30000, seed: int = 13) -> pd.DataFrame:
+    """Fully vectorized corpus generator for throughput benchmarks: Zipf
+    token stream split into docs with ~40x length spread. Same schema as
+    make_docs_corpus; contents are single-space-joined (tokenizer-equivalent)."""
+    rng = np.random.RandomState(seed)
+    zipf_p = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.05
+    zipf_p /= zipf_p.sum()
+    lens = (40 * (40 ** rng.random_sample(n_docs))).astype(np.int64)  # 40..1600
+    total = int(lens.sum())
+    vocab = np.array(_VOCAB, dtype=object)
+    stream = vocab[rng.choice(len(_VOCAB), size=total, p=zipf_p)]
+    bounds = np.cumsum(lens)[:-1]
+    docs = np.split(stream, bounds)
+    contents = [" ".join(d) for d in docs]
+    langs = np.array(_LANGS, dtype=object)[rng.randint(0, len(_LANGS), n_docs)]
+    pdf = pd.DataFrame(
+        {
+            "repo": [f"org{i % 23}/proj{i % 211}" for i in range(n_docs)],
+            "path": [f"src/file{i:08d}.py" for i in range(n_docs)],
+            "commit": [f"{i:040x}" for i in range(n_docs)],
+            "lang": langs,
+            "content": contents,
+        }
+    )
+    pdf["content_sha256"] = pdf["content"].map(sha256_hex)
+    return pdf
+
+
 # Exact priority-test documents, verbatim from kamilata/tests/priorities.rs:11-26.
 _PRIORITY_DOCS = (
     ("Perfect match", "This is the perfectly matching document"),

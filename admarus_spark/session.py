@@ -13,6 +13,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Tame glibc mmap/munmap churn in the Arrow UDF workers: large numpy
+    # buffers otherwise mmap+munmap on every batch, and at 32 concurrent
+    # workers the kernel page-zeroing/mmap path dominates (observed 95%
+    # system time). Arena reuse keeps those buffers pooled. Python workers
+    # inherit this environment from the JVM, which inherits it from here.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # local[N] → match shuffle partitions to cores (guide: not 200)
     if shuffle_partitions is None:
@@ -27,9 +35,26 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # local corpora arrive as few large parquet files; small input splits
+        # keep scan parallelism at the core count (harmless on many-file
+        # tables — split merging still coalesces tiny files)
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
+        # JVM<->Python-worker channels over unix domain sockets: sandboxed /
+        # filtered localhost TCP can stall worker setup for seconds per task
+        # (observed: stages with 100:1 blocked-to-CPU time ratios)
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        # Pin -Xms to -Xmx and pre-touch at startup: Spark only sets -Xmx,
+        # so the heap grows mid-run and every G1 expansion commits+zeroes
+        # GBs inside stop-the-world pauses (observed as 20s+ stalls at 95%
+        # system time). One-time startup pretouch instead.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} -XX:+AlwaysPreTouch",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -46,16 +46,20 @@ def tokenize(text: str) -> list[str]:
     return [t for t in TOKEN_SPLIT_RE.split(text.lower()) if len(t) >= MIN_TOKEN_LEN]
 
 
+TOKEN_RUN_RE = re.compile(r"[0-9a-z]{3,}")
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized tokenizer over a pandas Series of strings.
 
-    Returns a Series of ``list[str]``. Used inside the Spark pandas UDF; the
-    hot loop is pandas' C string machinery, not per-row Python.
+    Returns a Series of ``list[str]``. Used inside the Spark pandas UDF.
+    Implementation note: a maximal ``[0-9a-z]`` run survives the reference's
+    split-then-filter rule iff its length is >= 3, so ``findall`` of
+    ``[0-9a-z]{3,}`` (greedy => maximal runs) is exactly equivalent to
+    split-on-non-alnum + length filter — and avoids materializing the
+    dropped short tokens (pandas C string machinery, no per-row Python).
     """
-    lowered = texts.fillna("").str.lower()
-    split = lowered.str.split(TOKEN_SPLIT_RE)
-    # length filter: minimal per-list comprehension over already-split tokens
-    return split.map(lambda toks: [t for t in toks if len(t) >= MIN_TOKEN_LEN])
+    return texts.fillna("").str.lower().str.findall(TOKEN_RUN_RE)
 
 
 def make_tokenize_udf():

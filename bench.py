@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: prints ONE JSON line.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]: full index-build DAG over the documents table,
+the BM25 query shapes through the engine, and the training-data operators.
+``value`` is the total wall seconds over all headline queries; extra keys
+report index-build docs/sec (the reference's comparable number is 11 docs/s
+single-node ingest, /root/reference/README.md:54).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from admarus_spark.index.build import IndexBuilder
+    from admarus_spark.search.engine import SearchEngine
+    from admarus_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="admarus_bench", master=f"local[{CPUS}]")
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = -1.0
+
+    times: dict[str, float] = {}
+
+    # warm the JVM/Arrow path so q timings measure work, not first-call init
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # ---- index build (fresh every run) ----
+    idx_dir = f"/tmp/admarus_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = entry._docs_shape(spark, SF_DIR)
+    n_docs = docs.count()
+    t0 = time.time()
+    IndexBuilder(spark, idx_dir, n_buckets=32, salt_chunks=8).build(
+        docs, input_token=f"bench:{SF_DIR}:{time.time()}", resume=False
+    )
+    times["index_build"] = time.time() - t0
+    eng = SearchEngine(spark, idx_dir)
+
+    def timed(name: str, fn) -> None:
+        t = time.time()
+        fn()
+        times[name] = time.time() - t
+
+    timed("bm25_hot", lambda: eng.search("batch", 10).collect())
+    timed("bm25_and", lambda: eng.search("spark AND stream", 10).collect())
+    timed("bm25_or", lambda: eng.search("join hash window", 10).collect())
+    timed("bm25_nofm", lambda: eng.search("2(spark, stream, window)", 10).collect())
+    timed("bm25_not", lambda: eng.search("batch AND NOT dup", 10).collect())
+    timed("bm25_lang", lambda: eng.search("lang=es AND spark", 10).collect())
+
+    qs = entry.queries()
+    for name in (
+        "tokenize_tf",
+        "term_df",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "sim_cosine_topk",
+        "sim_lsh_topk",
+        "text_quality",
+        "events_hourly",
+        "tpch_q1",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = sum(times.values())
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf_val,
+        "n_docs": n_docs,
+        "index_build_docs_per_sec": round(n_docs / times["index_build"], 1),
+        "cpus": int(CPUS),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
