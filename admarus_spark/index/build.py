@@ -277,6 +277,11 @@ class IndexBuilder:
                     "n_docs": n_docs,
                     "total_tokens": total_tokens,
                     "avgdl": avgdl,
+                    # the avgdl the posting block_max values are computed
+                    # with; incremental updates that shift avgdl leave this
+                    # unchanged so the engine can detect stale bounds and
+                    # fall back to full decode (rank-safety)
+                    "bm_avgdl": avgdl,
                     "n_invalid_sha": int(n_invalid),
                 }
             ]

@@ -48,6 +48,12 @@ class SearchEngine:
         stats = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        # block-max values are exact bounds only under the avgdl they were
+        # encoded with; stats drift (incremental updates) disables WAND
+        try:
+            self.wand_safe = float(stats["bm_avgdl"]) == self.avgdl
+        except (KeyError, TypeError, ValueError):
+            self.wand_safe = True
         self.doc_dict = spark.read.parquet(self.paths.doc_dict)
         self.postings = spark.read.parquet(self.paths.postings)
         # driver-side summaries (tiny): per-bucket term blooms + meta bloom
@@ -130,8 +136,9 @@ class SearchEngine:
                 F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
             )
             df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
-            use_wand = (wand == "on") or (
-                wand == "auto" and is_max_fold(query.root) and not pos_filters
+            use_wand = self.wand_safe and (
+                (wand == "on")
+                or (wand == "auto" and is_max_fold(query.root) and not pos_filters)
             )
             if df_map:
                 decoded = self._decode(pruned, k if use_wand else None)

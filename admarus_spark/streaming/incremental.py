@@ -1,0 +1,257 @@
+"""Incremental index maintenance (the batch/streaming analog of the
+reference's 100-second re-crawl loop).
+
+The reference re-crawls periodically, dedups against its ``listed`` /
+``loaded`` sets and upserts new documents into the in-memory index
+(``/root/reference/daemon/src/index/index.rs:36-131``, dedup at
+``:37-38,68-75,99-100``). Our batch analog:
+
+- ``IncrementalIndexer.update(delta)`` dedups the incoming rows against the
+  existing ``doc_dict`` on (repo, path): already-indexed paths are skipped
+  (changed content is counted and skipped too — tombstone/delete support is
+  out of scope for v1, like the reference, which never deletes).
+- New docs get doc ids ``max_id + 1 ...`` in lexicographic (repo, path)
+  order *within the delta* — arrival-order semantics, exactly the
+  reference's ``LocalCid`` counter behavior across refresh rounds.
+- New postings are encoded as self-contained blocks and APPENDED per term:
+  because new ids are strictly greater than all old ids and blocks carry
+  absolute first-ids, the merge is block-list concatenation. Only the
+  affected term-hash buckets are rewritten (dynamic partition overwrite).
+- Stats are recomputed; ``bm_avgdl`` keeps the value the block-max bounds
+  were computed with, so the engine disables block-skipping when the bounds
+  went stale (rank-safety) — a full rebuild re-tightens them.
+
+``foreach_batch_handler`` adapts ``update`` to Structured Streaming's
+``foreachBatch`` for a ``readStream`` source of document rows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import BLOCK_SIZE, FILTER_BITS
+from ..hashword import build_filter
+from ..index.build import (
+    POSTINGS_SCHEMA,
+    IndexBuilder,
+    IndexPaths,
+    _tokenize_tf_map,
+)
+from ..index.codec import block_max_saturation, encode_postings
+
+
+@dataclass
+class IncrementalIndexer:
+    spark: SparkSession
+    index_dir: str
+    block_size: int = BLOCK_SIZE
+
+    def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
+        spark = self.spark
+        paths = IndexPaths(self.index_dir)
+        t0 = time.time()
+        stats = spark.read.parquet(paths.stats).collect()[0]
+        dd = spark.read.parquet(paths.doc_dict)
+        max_id = dd.agg(F.max("doc_id")).collect()[0][0]
+        max_id = -1 if max_id is None else int(max_id)
+
+        if "content_sha256" not in delta.columns:
+            delta = delta.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        n_delta = delta.count()
+        # dedup against the existing corpus on (repo, path) — index.rs:99-100
+        fresh = delta.join(dd.select("repo", "path"), ["repo", "path"], "left_anti")
+        # arrival-order ids: lexicographic within the delta, appended after
+        # max_id (small delta: a driver-side rank over the slim manifest)
+        manifest = fresh.select("repo", "path").withColumn(
+            "doc_id",
+            (F.lit(max_id + 1) + F.row_number().over(Window.orderBy("repo", "path")) - 1).cast("long"),
+        )
+        with_ids = fresh.join(F.broadcast(manifest), ["repo", "path"])
+        n_new = manifest.count()
+        if n_new == 0:
+            return {"rows_in": n_delta, "rows_new": 0, "seconds": time.time() - t0}
+
+        tf = with_ids.select("doc_id", "content").mapInPandas(
+            _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
+        )
+        bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
+        block_size = self.block_size
+
+        def encode_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (term,) = key
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.int64)
+            dls = pdf["dl"].to_numpy(np.int64)
+            enc = encode_postings(ids, tfs, dls, block_size)
+            starts = np.cumsum(np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64))))
+            bmax = block_max_saturation(tfs, dls, bm_avgdl, starts)
+            return pd.DataFrame(
+                [
+                    {
+                        "term": term,
+                        "df": int(ids.size),
+                        "ids": enc["ids_blob"],
+                        "tfs": enc["tfs_blob"],
+                        "dls": enc["dls_blob"],
+                        "block_firsts": enc["block_firsts"],
+                        "block_lens": enc["block_lens"],
+                        "ids_offs": enc["ids_offs"],
+                        "tfs_offs": enc["tfs_offs"],
+                        "dls_offs": enc["dls_offs"],
+                        "block_max": bmax.tolist(),
+                    }
+                ]
+            )
+
+        new_posts = tf.groupBy("term").applyInPandas(encode_term, POSTINGS_SCHEMA)
+        old = spark.read.parquet(paths.postings)
+        n_buckets = int(old.agg(F.max("tb")).collect()[0][0] or 0) + 1
+        new_posts = new_posts.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
+
+        # merge per term within affected buckets only: new ids > all old ids,
+        # blocks are self-contained -> concatenation with offset shifts
+        affected = sorted(
+            r["tb"] for r in new_posts.select("tb").distinct().collect()
+        )
+        old_aff = old.filter(F.col("tb").isin(affected))
+        merged = _concat_postings(old_aff, new_posts)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.repartition(len(affected), "tb")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(paths.postings)
+        )
+
+        # append to doc_dict
+        doc_len = tf.groupBy("doc_id").agg(F.max("dl").alias("doc_len"))
+        (
+            with_ids.select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
+            .join(doc_len, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("int"))
+            .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
+            .write.mode("append")
+            .parquet(paths.doc_dict)
+        )
+
+        # stats: recompute; bm_avgdl unchanged (block-max staleness marker)
+        agg = (
+            spark.read.parquet(paths.doc_dict)
+            .agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt"))
+            .collect()[0]
+        )
+        n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+        stats_pdf = pd.DataFrame(
+            [
+                {
+                    "n_docs": n_docs,
+                    "total_tokens": total_tokens,
+                    "avgdl": float(total_tokens) / float(n_docs) if n_docs else 0.0,
+                    "bm_avgdl": bm_avgdl,
+                    "n_invalid_sha": int(stats["n_invalid_sha"]),
+                }
+            ]
+        )
+        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+
+        # refresh summaries for affected buckets + keep the rest
+        post = spark.read.parquet(paths.postings)
+
+        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (tb,) = key
+            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
+            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+
+        fresh_summ = (
+            post.filter(F.col("tb").isin(affected))
+            .select("tb", "term")
+            .groupBy("tb")
+            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
+        )
+        old_summ = spark.read.parquet(paths.summaries).filter(
+            (F.col("kind") == "meta") | ~F.col("tb").isin(affected)
+        )
+        # meta bloom: rebuild (lang/repo value sets may have grown)
+        ddn = spark.read.parquet(paths.doc_dict)
+        meta_words: list[str] = []
+        for name in ("lang", "repo"):
+            if name in ddn.columns:
+                meta_words.extend(
+                    f"{name}={r[0]}" for r in ddn.select(name).distinct().collect()
+                )
+        meta_pdf = pd.DataFrame(
+            [{"tb": -1, "kind": "meta", "filter": build_filter(meta_words, FILTER_BITS).tobytes()}]
+        )
+        meta_df = spark.createDataFrame(meta_pdf, schema="tb int, kind string, filter binary")
+        summ = old_summ.filter(F.col("kind") != "meta").unionByName(fresh_summ).unionByName(meta_df)
+        # write-then-swap (summaries dir is tiny)
+        tmp = paths.summaries + "_next"
+        summ.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
+
+        return {
+            "rows_in": n_delta,
+            "rows_new": int(n_new),
+            "affected_buckets": affected,
+            "n_docs": n_docs,
+            "seconds": time.time() - t0,
+        }
+
+    def foreach_batch_handler(self):
+        """Adapter for Structured Streaming: ``writeStream.foreachBatch(h)``."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            self.update(batch_df, input_token=f"stream-batch-{batch_id}")
+
+        return handle
+
+
+def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-term merge of old + new encoded postings (new ids strictly
+    greater): blob concat with byte-offset shifts, done as a grouped-map
+    over the union tagged by generation."""
+    o = old.withColumn("gen", F.lit(0))
+    n = new.withColumn("gen", F.lit(1))
+    both = o.unionByName(n)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (term, tb) = key
+        pdf = pdf.sort_values("gen", kind="mergesort")
+        from ..index.codec import merge_encoded_chunks
+
+        chunks = [
+            {
+                "ids_blob": r.ids, "tfs_blob": r.tfs, "dls_blob": r.dls,
+                "block_firsts": list(r.block_firsts), "block_lens": list(r.block_lens),
+                "ids_offs": list(r.ids_offs), "tfs_offs": list(r.tfs_offs),
+                "dls_offs": list(r.dls_offs),
+            }
+            for r in pdf.itertuples()
+        ]
+        m = merge_encoded_chunks(chunks)
+        bmax = [x for r in pdf.itertuples() for x in r.block_max]
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "df": int(pdf["df"].sum()),
+                    "ids": m["ids_blob"], "tfs": m["tfs_blob"], "dls": m["dls_blob"],
+                    "block_firsts": m["block_firsts"], "block_lens": m["block_lens"],
+                    "ids_offs": m["ids_offs"], "tfs_offs": m["tfs_offs"],
+                    "dls_offs": m["dls_offs"], "block_max": bmax,
+                    "tb": int(tb),
+                }
+            ]
+        )
+
+    return both.groupBy("term", "tb").applyInPandas(merge, POSTINGS_SCHEMA + ", tb int")

@@ -1,0 +1,82 @@
+"""Incremental index maintenance: update() must make query results equal to
+a from-scratch build over the union corpus (scores are id-independent), must
+dedup already-indexed paths, and must disable stale block-max skipping."""
+
+import pandas as pd
+import pytest
+
+from admarus_spark.corpus import make_docs_corpus
+from admarus_spark.index.build import IndexBuilder
+from admarus_spark.oracle import OracleIndex
+from admarus_spark.search.engine import SearchEngine
+from admarus_spark.streaming.incremental import IncrementalIndexer
+
+QUERIES = ["license", "parser AND lexer", "parser lexer bloom", "2(parser, lexer, bloom)",
+           "lang=python AND bloom", "parser AND NOT bloom"]
+
+
+@pytest.fixture(scope="module")
+def inc_setup(spark, tmp_path_factory):
+    base = make_docs_corpus(400, seed=42)
+    extra = make_docs_corpus(200, seed=99)
+    extra["path"] = extra["path"].str.replace("src/", "extra/", regex=False)
+    d = str(tmp_path_factory.mktemp("idx_inc"))
+    IndexBuilder(spark, d, n_buckets=8, salt_chunks=4).build(
+        spark.createDataFrame(base), input_token="inc-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    metrics = inc.update(spark.createDataFrame(extra), input_token="inc-delta")
+    union = pd.concat([base, extra], ignore_index=True)
+    return d, base, extra, union, metrics
+
+
+def path_scores(df):
+    return sorted((r["path"], r["score"]) for r in df.collect())
+
+
+def test_update_metrics(inc_setup):
+    _, base, extra, _, m = inc_setup
+    assert m["rows_new"] == len(extra)
+    assert m["n_docs"] == len(base) + len(extra)
+
+
+def test_results_equal_full_rebuild(spark, inc_setup):
+    d, _, _, union, _ = inc_setup
+    eng = SearchEngine(spark, d)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    for q in QUERIES:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+
+def test_stale_blockmax_disables_wand(spark, inc_setup):
+    d, *_ = inc_setup
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is False
+    # forcing wand on is ignored (rank-safety) — results still exact
+    union_oracle = OracleIndex(inc_setup[3])
+    opaths = {i: p for i, p in enumerate(union_oracle.docs["path"])}
+    got = path_scores(eng.search("license", 10**6, wand="on"))
+    want = sorted((opaths[i], s) for i, s in union_oracle.search("license", 10**6))
+    assert got == want
+
+
+def test_redundant_update_is_noop(spark, inc_setup):
+    d, base, *_ = inc_setup
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(base), input_token="again")
+    assert m["rows_new"] == 0
+
+
+def test_new_docs_are_searchable(spark, inc_setup):
+    d, base, extra, _, _ = inc_setup
+    eng = SearchEngine(spark, d)
+    # a rare term that only exists in the delta
+    rare = [t for t in extra["content"].str.extract(r"(rareterm\d+z)", expand=False).dropna()]
+    assert rare
+    res = eng.search(rare[0], 10).collect()
+    # the same rare id may also exist in the base corpus (same generator);
+    # what matters: the delta doc is indexed and retrievable
+    assert any(r["path"].startswith("extra/") for r in res)
