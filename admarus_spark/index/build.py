@@ -139,6 +139,7 @@ class IndexBuilder:
     index_dir: str
     n_buckets: int = 32          # postings partition buckets (term-hash)
     salt_chunks: int = 8         # doc-id range chunks for hot-term salting
+    hot_df_threshold: int | None = None  # df above which a term is salted; None -> auto
     block_size: int = BLOCK_SIZE
     validate_sha: bool = True
     keep_tf: bool = True         # keep the stage-1 tf table (resume + debug)
@@ -154,6 +155,7 @@ class IndexBuilder:
             "salt_chunks": self.salt_chunks,
             "block_size": self.block_size,
             "validate_sha": self.validate_sha,
+            "hot_df_threshold": self.hot_df_threshold,
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -310,6 +312,13 @@ class IndexBuilder:
 
     # ------------------------------------------------------------------
     def _stage2(self, paths: IndexPaths, lineage: dict) -> None:
+        """Selective salting: the two-phase (partial encode per doc-id range
+        chunk, then per-term merge) costs an extra shuffle, so it is applied
+        ONLY to hot terms — chosen from observed df stats (SURVEY.md §4 O10),
+        the df aggregate being needed for the dictionary anyway. Cold terms
+        (the overwhelming majority of the dictionary) take the single-shuffle
+        path. The reference has no skew handling at all (hot terms just grow
+        a RAM hashmap)."""
         t0 = time.time()
         spark = self.spark
         stats = spark.read.parquet(paths.stats).collect()[0]
@@ -318,10 +327,19 @@ class IndexBuilder:
         block_size = self.block_size
 
         tf = spark.read.parquet(paths.tf)
+        # hot iff a single-task encode would exceed ~2 salt chunks of docs
+        hot_threshold = (
+            self.hot_df_threshold
+            if self.hot_df_threshold is not None
+            else max(50_000, 2 * chunk_span)
+        )
+        df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+        hot_terms = [
+            r["term"] for r in df_tbl.filter(F.col("df") >= hot_threshold).collect()
+        ]
         tf = tf.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("int"))
 
-        def encode_partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            term, chunk = key
+        def _encode(term: str, pdf: pd.DataFrame) -> dict:
             pdf = pdf.sort_values("doc_id", kind="mergesort")
             ids = pdf["doc_id"].to_numpy(np.int64)
             tfs = pdf["tf"].to_numpy(np.int64)
@@ -329,26 +347,39 @@ class IndexBuilder:
             enc = encode_postings(ids, tfs, dls, block_size)
             starts = np.cumsum(np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64))))
             bmax = block_max_saturation(tfs, dls, avgdl, starts)
-            return pd.DataFrame(
-                [
-                    {
-                        "term": term,
-                        "chunk": int(chunk),
-                        "df": int(ids.size),
-                        "ids": enc["ids_blob"],
-                        "tfs": enc["tfs_blob"],
-                        "dls": enc["dls_blob"],
-                        "block_firsts": enc["block_firsts"],
-                        "block_lens": enc["block_lens"],
-                        "ids_offs": enc["ids_offs"],
-                        "tfs_offs": enc["tfs_offs"],
-                        "dls_offs": enc["dls_offs"],
-                        "block_max": bmax.tolist(),
-                    }
-                ]
-            )
+            return {
+                "term": term,
+                "df": int(ids.size),
+                "ids": enc["ids_blob"],
+                "tfs": enc["tfs_blob"],
+                "dls": enc["dls_blob"],
+                "block_firsts": enc["block_firsts"],
+                "block_lens": enc["block_lens"],
+                "ids_offs": enc["ids_offs"],
+                "tfs_offs": enc["tfs_offs"],
+                "dls_offs": enc["dls_offs"],
+                "block_max": bmax.tolist(),
+            }
 
-        partial = tf.groupBy("term", "chunk").applyInPandas(encode_partial, PARTIAL_SCHEMA)
+        def encode_partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            term, chunk = key
+            row = _encode(term, pdf)
+            row["chunk"] = int(chunk)
+            return pd.DataFrame([row])
+
+        def encode_whole(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (term,) = key
+            return pd.DataFrame([_encode(term, pdf)])
+
+        cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
+        cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
+        partial = (
+            tf.filter(F.col("term").isin(hot_terms))
+            .groupBy("term", "chunk")
+            .applyInPandas(encode_partial, PARTIAL_SCHEMA)
+            if hot_terms
+            else None
+        )
 
         def merge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             (term,) = key
@@ -386,7 +417,10 @@ class IndexBuilder:
                 ]
             )
 
-        merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
+        merged = cold
+        if partial is not None:
+            hot_merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
+            merged = merged.unionByName(hot_merged)
         merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(self.n_buckets)))
         (
             merged.repartition(self.n_buckets, "tb")
@@ -413,6 +447,8 @@ class IndexBuilder:
                 "n_postings": sum(int(r["posts"] or 0) for r in rows),
                 "max_df": max((int(r["mx"] or 0) for r in rows), default=0),
                 "salt_chunk_span": chunk_span,
+                "hot_df_threshold": hot_threshold,
+                "n_hot_terms": len(hot_terms),
                 "terms_per_bucket": per_bucket,
                 "seconds": time.time() - t0,
             },

@@ -20,8 +20,8 @@ import subprocess
 import sys
 import time
 
-CORPUS_PARQUET = "/tmp/admarus_scale_corpus.parquet"
-N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+CORPUS_PARQUET = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/admarus_scale_corpus.parquet")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
 QUERY_BATCH = [
     "license", "parser AND lexer", "bloom / sketch / minhash", "2(posting, inverted, bm25)",
     "compiler AND NOT kernel", "lang=python AND shuffle", "retrieval ranking relevance",

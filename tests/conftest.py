@@ -48,7 +48,9 @@ def movies_engine(spark, movies_pdf, tmp_path_factory):
 @pytest.fixture(scope="session")
 def docs_engine(spark, docs_pdf, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_docs"))
-    IndexBuilder(spark, d, n_buckets=16, salt_chunks=8).build(
+    # hot_df_threshold=100 forces the salted two-phase path for the skew
+    # fixture term ('license', df ~ n_docs)
+    IndexBuilder(spark, d, n_buckets=16, salt_chunks=8, hot_df_threshold=100).build(
         spark.createDataFrame(docs_pdf), input_token="docs"
     )
     return SearchEngine(spark, d)

@@ -79,7 +79,7 @@ def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
     """Same corpus indexed with different bucket/salt/partition settings
     must produce identical query results (SURVEY.md §5 test plan b)."""
     d = str(tmp_path / "idx_alt")
-    IndexBuilder(spark, d, n_buckets=3, salt_chunks=1).build(
+    IndexBuilder(spark, d, n_buckets=3, salt_chunks=1, hot_df_threshold=10).build(
         spark.createDataFrame(docs_pdf).repartition(17), input_token="alt"
     )
     eng = SearchEngine(spark, d)
