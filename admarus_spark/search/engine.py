@@ -149,6 +149,110 @@ class SearchEngine:
         return self._finish(query, scored, term_col, pos_filters, k)
 
     # --------------------------------------------------------------------
+    def search_many(self, queries: dict[str, str | Query], k: int = 10) -> DataFrame:
+        """Batched execution: MANY queries against ONE postings scan + decode
+        + pivot. Per-query results are identical to ``search`` (same folds,
+        same float order); queries whose candidates come from metadata
+        filters alone fall back to the single-query path and are unioned in.
+
+        This is the throughput shape for query-serving at scale: the scan,
+        decode and conditional-aggregation pivot are shared across the
+        batch, so Q queries cost one pass over the union of their terms plus
+        Q cheap column-fold projections over the cached pivot.
+
+        Returns (query_id, doc_id, score, repo, path, commit, lang), top-k
+        per query by (score desc, doc_id asc).
+        """
+        parsed: dict[str, Query] = {
+            qid: (parse_query(q) if isinstance(q, str) else q) for qid, q in queries.items()
+        }
+        batched: dict[str, Query] = {}
+        fallback: dict[str, Query] = {}
+        for qid, q in parsed.items():
+            if self._bloom_match_score(q.root, self.global_bloom) == 0:
+                continue
+            # any positive metadata filter can source candidates beyond the
+            # positive-term posting union (e.g. `lang=en / word`) -> take the
+            # exact single-query path for those
+            if q.positive_terms() and not q.positive_filters():
+                batched[qid] = q
+            elif q.positive_filters():
+                fallback[qid] = q
+
+        parts: list[DataFrame] = []
+        if batched:
+            union_terms: list[str] = list(
+                dict.fromkeys(t for q in batched.values() for t in q.terms())
+            )
+            scan_terms, buckets = [], set()
+            for t in union_terms:
+                tb = term_bucket(t, self.n_buckets)
+                bloom = self.bucket_blooms.get(tb)
+                if bloom is not None and filter_get(bloom, t):
+                    scan_terms.append(t)
+                    buckets.add(tb)
+            if scan_terms:
+                pruned = self.postings.filter(
+                    F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
+                )
+                df_map = {
+                    r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()
+                }
+                if df_map:
+                    decoded = self._decode(pruned, None)
+                    scored, term_col = self._score(decoded, df_map)
+                    needs_meta = any(
+                        _collect_filter_names(q.root) for q in batched.values()
+                    )
+                    if needs_meta:
+                        meta_cols = ["doc_id"] + [
+                            c for c in ("lang", "repo") if c in self.doc_dict.columns
+                        ]
+                        scored = scored.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
+                    scored = scored.persist()
+                    term_cols = {
+                        t: F.coalesce(F.col(c), F.lit(0.0)) for t, c in term_col.items()
+                    }
+                    meta_exprs = {
+                        n: F.col(n) for n in ("lang", "repo") if n in scored.columns
+                    }
+                    for qid, q in batched.items():
+                        gate, score = compile_fold(q.root, term_cols, meta_exprs)
+                        pos_cols = [
+                            term_col[t]
+                            for t in dict.fromkeys(q.positive_terms())
+                            if t in term_col
+                        ]
+                        if not pos_cols:
+                            continue
+                        pred = None
+                        for c in pos_cols:
+                            p = F.col(c) > F.lit(0.0)
+                            pred = p if pred is None else (pred | p)
+                        parts.append(
+                            scored.filter(pred & gate)
+                            .withColumn("score", score)
+                            .orderBy(F.desc("score"), F.asc("doc_id"))
+                            .limit(k)
+                            .select(F.lit(qid).alias("query_id"), "doc_id", "score")
+                        )
+        for qid, q in fallback.items():
+            parts.append(
+                self.search(q, k).select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "query_id string, " + RESULT_SCHEMA)
+        topk = parts[0]
+        for p in parts[1:]:
+            topk = topk.unionByName(p)
+        out = self.doc_dict.join(F.broadcast(topk), "doc_id")
+        return out.select(
+            "query_id", "doc_id", "score", "repo", "path", "commit", "lang"
+        ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+    # --------------------------------------------------------------------
     def _decode(self, pruned: DataFrame, wand_k: int | None) -> DataFrame:
         """Arrow-batched posting decode; the inner loop is NumPy over blocks.
 

@@ -79,9 +79,10 @@ def worker(cpus: int) -> None:
     build_sec = time.time() - t0
     eng = SearchEngine(spark, idx)
     eng.search("license", 10).collect()  # engine warmup (summaries, plans)
+    qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
+    eng.search_many(qmap, 10).collect()  # plan warmup
     t0 = time.time()
-    for q in QUERY_BATCH:
-        eng.search(q, 10).collect()
+    eng.search_many(qmap, 10).collect()
     query_sec = time.time() - t0
     stats = b.metrics["stage1_tokenize"]
     print(

@@ -1,0 +1,30 @@
+"""Batched search must produce per-query results identical to search()."""
+
+QUERIES = {
+    "hot": "license",
+    "and2": "license AND parser",
+    "quick_or": "parser lexer bloom",
+    "nofm": "2(parser, lexer, bloom)",
+    "notq": "parser AND NOT bloom",
+    "rare": "rareterm000063z",
+    "meta": "lang=python AND bloom",      # positive filter -> exact fallback
+    "pure_meta": "lang=python",           # filter-only candidates -> fallback
+    "missing": "nosuchterm",
+}
+
+
+def test_search_many_matches_single(docs_engine):
+    batch = docs_engine.search_many(QUERIES, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_search_many_empty_batch(docs_engine):
+    out = docs_engine.search_many({"none": "nosuchterm"}, k=5)
+    assert out.count() == 0
