@@ -103,10 +103,10 @@ idfs AS (SELECT term, ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) AS id
 """
 
 
-def _bm25_oracle(terms: list[str], gate: str, score: str, k: int = DEFAULT_K, join_meta: bool = False) -> str:
-    """Build the full BM25 oracle query. ``gate``/``score`` are SQL exprs over
-    per-term score columns s_0..s_{n-1} (0.0 when the doc lacks the term)
-    and, with join_meta, the documents columns (lang, source)."""
+def _bm25_res_ctes(terms: list[str], gate: str, score: str, join_meta: bool = False) -> str:
+    """CTE chain ending in res(doc_id, score). ``gate``/``score`` are SQL
+    exprs over per-term score columns s_0..s_{n-1} (0.0 when the doc lacks
+    the term) and, with join_meta, the documents columns (lang, source)."""
     in_list = ", ".join(f"'{t}'" for t in terms)
     s_cols = ",\n         ".join(
         f"coalesce(max(CASE WHEN tft.term = '{t}' THEN i.idf * tft.tf / "
@@ -130,6 +130,12 @@ res AS (
   FROM sc {meta_join}
   WHERE {gate}
 )
+"""
+
+
+def _bm25_oracle(terms: list[str], gate: str, score: str, k: int = DEFAULT_K, join_meta: bool = False) -> str:
+    return f"""
+{_bm25_res_ctes(terms, gate, score, join_meta)}
 SELECT 'doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0') AS path,
        round(r.score, 9) AS score_r
 FROM res r JOIN documents d ON d.doc_id = r.doc_id
@@ -212,6 +218,34 @@ def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_grouped(query_text: str, gk: int = 5):
+    """G2/G4 analog: group results by repo root, group score = best member
+    (webui/src/result/ranked.rs:116-139, grouped.rs:28-31)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine(spark, sf_dir)
+        res = eng.search(query_text, 10**6)
+        return (
+            res.groupBy(F.col("repo").alias("source"))
+            .agg(F.round(F.max("score"), 9).alias("best_r"), F.count("*").alias("members"))
+            .orderBy(F.desc("best_r"), F.asc("source"))
+            .limit(gk)
+        )
+
+    return run
+
+
+def _bm25_grouped_oracle(terms: list[str], gate: str, score: str, gk: int = 5) -> str:
+    return f"""
+{_bm25_res_ctes(terms, gate, score)}
+SELECT d.source AS source, round(max(r.score), 9) AS best_r, count(*) AS members
+FROM res r JOIN documents d ON d.doc_id = r.doc_id
+GROUP BY d.source
+ORDER BY round(max(r.score), 9) DESC, source ASC
+LIMIT {gk}
+"""
+
+
 _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_tf": q_tokenize_tf,
     "doc_stats": q_doc_stats,
@@ -227,6 +261,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_nofm": _bm25_query("2(spark, stream, window)"),
     "bm25_not": _bm25_query("batch AND NOT dup"),
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
+    "bm25_grouped": _bm25_grouped("batch"),
 }
 
 _TOK_EXPR = (
@@ -284,6 +319,7 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_lang_filter": _bm25_oracle(
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
     ),
+    "bm25_grouped": _bm25_grouped_oracle(["batch"], gate="s_0 > 0", score="s_0"),
 }
 
 

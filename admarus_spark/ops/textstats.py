@@ -167,8 +167,59 @@ GROUP BY doc_id
 """
 
 
+# Embedded common-English word list (stand-in for the reference's build-time
+# downloaded top-5000 list, word-lists/build.rs:1-31 — no downloads here).
+COMMON_EN = (
+    "the and for are but not you all any can had her was one our out day get "
+    "has him his how man new now old see two way who boy did its let put say "
+    "she too use that with have this will your from they know want been good "
+    "much some time very when come here just like long make many more only "
+    "over such take than them well were what".split()
+)
+
+
+def common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 common-words ratio (documents.rs:254-266): byte share of common-EN
+    tokens among all token bytes; only computed for lang='en' docs (the
+    reference has word lists for English only), NULL otherwise."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", make_tokenize_udf()(F.col("text")).alias("t"))
+        .select("doc_id", "lang", F.explode_outer("t").alias("term"))
+    )
+    agg = base.groupBy("doc_id", "lang").agg(
+        F.sum(F.when(F.col("term").isin(COMMON_EN), F.length("term")).otherwise(0)).alias("common"),
+        F.sum(F.when(~F.col("term").isin(COMMON_EN), F.length("term")).otherwise(0)).alias("uncommon"),
+    )
+    ratio = F.when(
+        (F.col("lang") == "en") & ((F.col("common") + F.col("uncommon")) > 0),
+        F.round(F.col("common").cast("double") / (F.col("common") + F.col("uncommon")), 9),
+    )
+    return agg.select("doc_id", ratio.alias("common_ratio_r"))
+
+
+def _common_words_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in COMMON_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_concat({_TOK_EXPR_DUCK}, [NULL])) AS term FROM documents
+),
+agg AS (
+  SELECT doc_id, lang,
+         sum(CASE WHEN term IN ({lst}) THEN length(term) ELSE 0 END) AS common,
+         sum(CASE WHEN term IS NOT NULL AND term NOT IN ({lst}) THEN length(term) ELSE 0 END) AS uncommon
+  FROM toks GROUP BY doc_id, lang
+)
+SELECT doc_id,
+       CASE WHEN lang = 'en' AND common + uncommon > 0
+            THEN round(common::DOUBLE / (common + uncommon), 9) END AS common_ratio_r
+FROM agg
+"""
+
+
 QUERIES = {
     "text_lang_id": lang_id,
+    "text_common_words": common_words,
     "text_quality": quality,
     "text_token_counts": token_counts,
     "text_fingerprint": fingerprint,
@@ -176,6 +227,7 @@ QUERIES = {
 
 ORACLES = {
     "text_lang_id": _langid_sql(),
+    "text_common_words": _common_words_sql(),
     "text_quality": QUALITY_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_fingerprint": FINGERPRINT_SQL,

@@ -149,6 +149,17 @@ class SearchEngine:
         return self._finish(query, scored, term_col, pos_filters, k)
 
     # --------------------------------------------------------------------
+    def search_with_snippets(self, query, docs: DataFrame, k: int = 10) -> DataFrame:
+        """Top-k + best-extract snippets (P5, documents.rs:131-163): the
+        source table is joined only against the k winners (broadcast)."""
+        from .snippets import with_snippets
+
+        if isinstance(query, str):
+            query = parse_query(query)
+        res = self.search(query, k)
+        return with_snippets(res, docs, query.positive_terms())
+
+    # --------------------------------------------------------------------
     def search_many(self, queries: dict[str, str | Query], k: int = 10) -> DataFrame:
         """Batched execution: MANY queries against ONE postings scan + decode
         + pivot. Per-query results are identical to ``search`` (same folds,

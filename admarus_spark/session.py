@@ -21,6 +21,11 @@ def get_spark(
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
     os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+    # the pre-warm daemon module must be importable by the worker daemon
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # local[N] → match shuffle partitions to cores (guide: not 200)
     if shuffle_partitions is None:
@@ -42,8 +47,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
         # JVM<->Python-worker channels over unix domain sockets: sandboxed /
         # filtered localhost TCP can stall worker setup for seconds per task
-        # (observed: stages with 100:1 blocked-to-CPU time ratios)
         .config("spark.python.unix.domain.socket.enabled", "true")
+        # Reused workers with a pool sized to the core count (the default
+        # pool cap throws warm workers away under bursts), forked from a
+        # daemon that pre-imports the heavy stack (see daemon_prewarm.py) so
+        # cold forks skip the ~1s pandas/numpy/pyarrow import.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "64")
+        .config("spark.python.daemon.module", "admarus_spark.daemon_prewarm")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")

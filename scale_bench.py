@@ -50,6 +50,7 @@ def worker(cpus: int) -> None:
     from admarus_spark.session import get_spark
 
     spark = get_spark(app_name=f"admarus_scale_{cpus}", master=f"local[{cpus}]")
+    spark.range(1000).selectExpr("sum(id)").collect()
     # Warmup, never timed: (a) spawn + prime ALL Python workers concurrently
     # (each fresh worker pays multi-second pandas/numpy imports — production
     # executors are warm, and cold-start is not what the N->4N scaling
@@ -107,44 +108,41 @@ def run_worker(cpus: int) -> dict:
 
 
 def main() -> None:
-    """Interleave 8/32 measurements and take the per-level MIN: environmental
-    noise on this shared VM is strictly one-sided (host contention only adds
-    time), so min-of-N is the unbiased estimator of the job's true cost."""
+    """Interleave measurements across parallelism levels and take the
+    per-level MIN: environmental noise on this shared VM is strictly
+    one-sided (host contention only adds time), so min-of-N estimates the
+    job's true cost. Levels cover both N->4N pairs: 2->8 (compute-bound
+    regime) and 8->32 (where one box's shared memory/disk bandwidth
+    saturates — a real 4N-executor cluster multiplies those too)."""
     ensure_corpus()
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
-    runs8, runs32 = [], []
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")]
+    runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(rounds):
-        runs8.append(run_worker(8))
-        runs32.append(run_worker(32))
-    r8 = min(runs8, key=lambda r: r["build_sec"])
-    r32 = min(runs32, key=lambda r: r["build_sec"])
-    r8["query_sec"] = min(r["query_sec"] for r in runs8)
-    r32["query_sec"] = min(r["query_sec"] for r in runs32)
-    thr8 = r8["n_docs"] / r8["build_sec"]
-    thr32 = r32["n_docs"] / r32["build_sec"]
-    eff_build = (thr32 / thr8) / 4.0
-    q8 = len(QUERY_BATCH) / r8["query_sec"]
-    q32 = len(QUERY_BATCH) / r32["query_sec"]
-    eff_query = (q32 / q8) / 4.0
+        for c in levels:
+            runs[c].append(run_worker(c))
+    best = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
+    qbest = {c: min(r["query_sec"] for r in rs) for c, rs in runs.items()}
+    thr = {c: best[c]["n_docs"] / best[c]["build_sec"] for c in levels}
+    qps = {c: len(QUERY_BATCH) / qbest[c] for c in levels}
+
+    def eff(metric, lo, hi):
+        return round((metric[hi] / metric[lo]) / (hi / lo), 3) if lo in metric and hi in metric else None
+
     report = {
         "rounds": rounds,
-        "all_build_secs": {"local8": [round(r["build_sec"], 2) for r in runs8],
-                            "local32": [round(r["build_sec"], 2) for r in runs32]},
-        "n_docs": r8["n_docs"],
-        "total_tokens": r8["total_tokens"],
-        "build": {
-            "local8_sec": round(r8["build_sec"], 2),
-            "local32_sec": round(r32["build_sec"], 2),
-            "local8_docs_per_sec": round(thr8, 1),
-            "local32_docs_per_sec": round(thr32, 1),
-            "scaling_efficiency_8_to_32": round(eff_build, 3),
-        },
-        "query_batch": {
-            "local8_sec": round(r8["query_sec"], 2),
-            "local32_sec": round(r32["query_sec"], 2),
-            "local8_qps": round(q8, 2),
-            "local32_qps": round(q32, 2),
-            "scaling_efficiency_8_to_32": round(eff_query, 3),
+        "n_docs": best[levels[0]]["n_docs"],
+        "total_tokens": best[levels[0]]["total_tokens"],
+        "all_build_secs": {f"local{c}": [round(r["build_sec"], 2) for r in runs[c]] for c in levels},
+        "build_sec": {f"local{c}": round(best[c]["build_sec"], 2) for c in levels},
+        "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
+        "query_batch_sec": {f"local{c}": round(qbest[c], 2) for c in levels},
+        "query_qps": {f"local{c}": round(qps[c], 2) for c in levels},
+        "scaling_efficiency": {
+            "build_2_to_8": eff(thr, 2, 8),
+            "build_8_to_32": eff(thr, 8, 32),
+            "query_2_to_8": eff(qps, 2, 8),
+            "query_8_to_32": eff(qps, 8, 32),
         },
     }
     os.makedirs("BENCH", exist_ok=True)
