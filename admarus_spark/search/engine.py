@@ -69,6 +69,18 @@ class SearchEngine:
         blooms = list(self.bucket_blooms.values())
         base = np.bitwise_or.reduce(blooms) if blooms else np.zeros(FILTER_BITS // 8, np.uint8)
         self.global_bloom = np.bitwise_or(base, self.meta_bloom)
+        # dictionary cache: for small dictionaries, (term -> df) is loaded
+        # once at init so queries skip the per-query df-collect job; at
+        # billion-term scale this stays lazy (per-query pruned collect).
+        self.df_cache: dict[str, int] | None = None
+        from ..index import checkpoint as _ckpt
+
+        n_terms = _ckpt.read_metrics(index_dir, "stage2_postings").get("n_terms")
+        if n_terms is not None and n_terms <= 200_000:
+            self.df_cache = {
+                r["term"]: int(r["df"])
+                for r in self.postings.select("term", "df").collect()
+            }
 
     # --- M1 bloom gate (matching.rs:19-41 semantics, u32 sum/gate) ------
     def _bloom_match_score(self, comp: QueryComp, filt: np.ndarray, optimistic: bool = True) -> int:
@@ -135,7 +147,10 @@ class SearchEngine:
             pruned = self.postings.filter(
                 F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
             )
-            df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
+            if self.df_cache is not None:
+                df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
+            else:
+                df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
             use_wand = self.wand_safe and (
                 (wand == "on")
                 or (wand == "auto" and is_max_fold(query.root) and not pos_filters)
@@ -206,9 +221,12 @@ class SearchEngine:
                 pruned = self.postings.filter(
                     F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
                 )
-                df_map = {
-                    r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()
-                }
+                if self.df_cache is not None:
+                    df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
+                else:
+                    df_map = {
+                        r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()
+                    }
                 if df_map:
                     decoded = self._decode(pruned, None)
                     scored, term_col = self._score(decoded, df_map)
@@ -339,29 +357,45 @@ class SearchEngine:
         # positive filter lists. The pivot table also carries NOT-subtree
         # terms (needed by the fold), so restrict to docs matching at least
         # one positive term.
-        cand = None
+        pred = None
         if scored is not None:
             pos_cols = [
                 term_col[t]
                 for t in dict.fromkeys(query.positive_terms())
                 if t in term_col
             ]
-            if pos_cols:
-                pred = None
-                for c in pos_cols:
-                    p = F.col(c) > F.lit(0.0)
-                    pred = p if pred is None else (pred | p)
-                cand = scored.filter(pred).select("doc_id")
-        for name, value in pos_filters:
-            if name in self.doc_dict.columns:
-                ids = self.doc_dict.filter(F.col(name) == F.lit(value)).select("doc_id")
-                cand = ids if cand is None else cand.unionByName(ids)
+            for c in pos_cols:
+                p = F.col(c) > F.lit(0.0)
+                pred = p if pred is None else (pred | p)
+
+        filter_sources = [
+            (name, value) for name, value in pos_filters if name in self.doc_dict.columns
+        ]
+        if scored is not None and pred is not None and not filter_sources:
+            # common case: candidates == positive-term pivot rows; keep the
+            # pivot single-referenced (a self-join here would recompute the
+            # whole scan+decode twice — visible as duplicate postings scans
+            # in the physical plan)
+            return self._rank(query, scored.filter(pred), term_col, k)
+
+        cand = None
+        if scored is not None and pred is not None:
+            scored = scored.persist()  # referenced twice below
+            cand = scored.filter(pred).select("doc_id")
+        for name, value in filter_sources:
+            ids = self.doc_dict.filter(F.col(name) == F.lit(value)).select("doc_id")
+            cand = ids if cand is None else cand.unionByName(ids)
         if cand is None:
             return self._empty_result()
         cand = cand.distinct()
         if scored is not None:
             cand = cand.join(scored, "doc_id", "left")
+        return self._rank(query, cand, term_col, k)
 
+    # --------------------------------------------------------------------
+    def _rank(self, query: Query, cand: DataFrame, term_col: dict[str, str], k: int) -> DataFrame:
+        """Fold + gate + global top-k + dictionary join over a candidate
+        pivot table (doc_id + per-term score columns [+ meta columns])."""
         meta_names = _collect_filter_names(query.root)
         if meta_names:
             meta_cols = ["doc_id"] + [c for c in ("lang", "repo") if c in self.doc_dict.columns]
