@@ -55,7 +55,12 @@ from pyspark.sql import functions as F
 from .. import BLOCK_SIZE, FILTER_BITS
 from ..hashword import build_filter
 from . import checkpoint as ckpt
-from .codec import block_max_saturation, encode_postings, merge_encoded_chunks
+from .codec import (
+    block_max_saturation,
+    decode_postings,
+    encode_postings,
+    merge_encoded_chunks,
+)
 
 def _tokenize_tf_map(batches):
     """Arrow-batched (doc_id, content) -> (doc_id, term, tf, dl): the
@@ -138,6 +143,7 @@ class IndexBuilder:
     spark: SparkSession
     index_dir: str
     n_buckets: int = 32          # postings partition buckets (term-hash)
+    strategy: str = "local-merge"  # 'local-merge' | 'salted-groupby' (see _stage2)
     salt_chunks: int = 8         # doc-id range chunks for hot-term salting
     hot_df_threshold: int | None = None  # df above which a term is salted; None -> auto
     block_size: int = BLOCK_SIZE
@@ -156,6 +162,7 @@ class IndexBuilder:
             "block_size": self.block_size,
             "validate_sha": self.validate_sha,
             "hot_df_threshold": self.hot_df_threshold,
+            "strategy": self.strategy,
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -327,17 +334,21 @@ class IndexBuilder:
         block_size = self.block_size
 
         tf = spark.read.parquet(paths.tf)
-        # hot iff a single-task encode would exceed ~2 salt chunks of docs
-        hot_threshold = (
-            self.hot_df_threshold
-            if self.hot_df_threshold is not None
-            else max(50_000, 2 * chunk_span)
-        )
-        df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-        hot_terms = [
-            r["term"] for r in df_tbl.filter(F.col("df") >= hot_threshold).collect()
-        ]
-        tf = tf.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("int"))
+        hot_terms: list[str] = []
+        if self.strategy == "salted-groupby":
+            # hot iff a single-task encode would exceed ~2 salt chunks of docs
+            hot_threshold = (
+                self.hot_df_threshold
+                if self.hot_df_threshold is not None
+                else max(50_000, 2 * chunk_span)
+            )
+            df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+            hot_terms = [
+                r["term"] for r in df_tbl.filter(F.col("df") >= hot_threshold).collect()
+            ]
+            tf = tf.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("int"))
+        else:
+            hot_threshold = -1
 
         def _encode(term: str, pdf: pd.DataFrame) -> dict:
             pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -371,15 +382,68 @@ class IndexBuilder:
             (term,) = key
             return pd.DataFrame([_encode(term, pdf)])
 
-        cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
-        cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
-        partial = (
-            tf.filter(F.col("term").isin(hot_terms))
-            .groupBy("term", "chunk")
-            .applyInPandas(encode_partial, PARTIAL_SCHEMA)
-            if hot_terms
-            else None
-        )
+        def encode_local(batches):
+            """Local inverted index per tf partition: sort the partition's
+            rows by (term, doc_id) and encode per-term block runs — NO
+            shuffle of raw postings; only compressed blobs move to the
+            merge. The doc-partitioning itself is the salt: a hot term's
+            encode work is bounded by the partition size, spread over every
+            partition that contains it."""
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            codes, uniq = pd.factorize(pdf["term"], sort=False)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            tfv = pdf["tf"].to_numpy(np.int64)
+            dlv = pdf["dl"].to_numpy(np.int64)
+            order = np.lexsort((ids, codes))
+            codes_s, ids_s = codes[order], ids[order]
+            tfs_s, dls_s = tfv[order], dlv[order]
+            bounds = np.flatnonzero(np.diff(codes_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [codes_s.size]))
+            rows = []
+            for s, e in zip(starts, ends):
+                enc = encode_postings(ids_s[s:e], tfs_s[s:e], dls_s[s:e], block_size)
+                bstarts = np.cumsum(
+                    np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
+                )
+                bmax = block_max_saturation(tfs_s[s:e], dls_s[s:e], avgdl, bstarts)
+                rows.append(
+                    {
+                        "term": uniq[codes_s[s]],
+                        "chunk": int(pid),
+                        "df": int(e - s),
+                        "ids": enc["ids_blob"],
+                        "tfs": enc["tfs_blob"],
+                        "dls": enc["dls_blob"],
+                        "block_firsts": enc["block_firsts"],
+                        "block_lens": enc["block_lens"],
+                        "ids_offs": enc["ids_offs"],
+                        "tfs_offs": enc["tfs_offs"],
+                        "dls_offs": enc["dls_offs"],
+                        "block_max": bmax.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+        if self.strategy == "salted-groupby":
+            cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
+            cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
+            partial = (
+                tf.filter(F.col("term").isin(hot_terms))
+                .groupBy("term", "chunk")
+                .applyInPandas(encode_partial, PARTIAL_SCHEMA)
+                if hot_terms
+                else None
+            )
+        else:  # local-merge (default)
+            cold = None
+            partial = tf.mapInPandas(encode_local, PARTIAL_SCHEMA)
 
         def merge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             (term,) = key
@@ -397,6 +461,44 @@ class IndexBuilder:
                 }
                 for r in pdf.itertuples()
             ]
+            df_total = int(pdf["df"].sum())
+            if len(chunks) > 1 and df_total <= 4 * block_size:
+                # rare-term path: many 1-2 doc fragments would bloat block
+                # metadata; decode + re-encode into dense sorted blocks
+                parts = [
+                    decode_postings(
+                        c["ids_blob"], c["tfs_blob"], c["dls_blob"],
+                        c["block_firsts"], c["block_lens"],
+                    )
+                    for c in chunks
+                ]
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                o = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[o], tfs[o], dls[o]
+                enc = encode_postings(ids, tfs, dls, block_size)
+                bstarts = np.cumsum(
+                    np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
+                )
+                bmax2 = block_max_saturation(tfs, dls, avgdl, bstarts)
+                return pd.DataFrame(
+                    [
+                        {
+                            "term": term,
+                            "df": df_total,
+                            "ids": enc["ids_blob"],
+                            "tfs": enc["tfs_blob"],
+                            "dls": enc["dls_blob"],
+                            "block_firsts": enc["block_firsts"],
+                            "block_lens": enc["block_lens"],
+                            "ids_offs": enc["ids_offs"],
+                            "tfs_offs": enc["tfs_offs"],
+                            "dls_offs": enc["dls_offs"],
+                            "block_max": bmax2.tolist(),
+                        }
+                    ]
+                )
             m = merge_encoded_chunks(chunks)
             bmax = [x for r in pdf.itertuples() for x in r.block_max]
             return pd.DataFrame(
@@ -420,7 +522,7 @@ class IndexBuilder:
         merged = cold
         if partial is not None:
             hot_merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
-            merged = merged.unionByName(hot_merged)
+            merged = hot_merged if merged is None else merged.unionByName(hot_merged)
         merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(self.n_buckets)))
         (
             merged.repartition(self.n_buckets, "tb")
@@ -446,6 +548,7 @@ class IndexBuilder:
                 "n_terms": sum(per_bucket.values()),
                 "n_postings": sum(int(r["posts"] or 0) for r in rows),
                 "max_df": max((int(r["mx"] or 0) for r in rows), default=0),
+                "strategy": self.strategy,
                 "salt_chunk_span": chunk_span,
                 "hot_df_threshold": hot_threshold,
                 "n_hot_terms": len(hot_terms),

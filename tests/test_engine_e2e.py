@@ -79,9 +79,12 @@ def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
     """Same corpus indexed with different bucket/salt/partition settings
     must produce identical query results (SURVEY.md §5 test plan b)."""
     d = str(tmp_path / "idx_alt")
-    IndexBuilder(spark, d, n_buckets=3, salt_chunks=1, hot_df_threshold=10).build(
-        spark.createDataFrame(docs_pdf).repartition(17), input_token="alt"
-    )
+    # exercises the explicit df-salted strategy (the default engine path is
+    # local-merge); both must give identical results
+    IndexBuilder(
+        spark, d, n_buckets=3, salt_chunks=1, hot_df_threshold=10,
+        strategy="salted-groupby",
+    ).build(spark.createDataFrame(docs_pdf).repartition(17), input_token="alt")
     eng = SearchEngine(spark, d)
     run_parity(eng, docs_oracle, ["license", "license AND parser", "2(parser, lexer, bloom)"])
 
