@@ -37,8 +37,18 @@ def main() -> None:
 
     times: dict[str, float] = {}
 
-    # warm the JVM/Arrow path so q timings measure work, not first-call init
+    # warm the JVM/Arrow path + the Python worker pool so q timings measure
+    # work, not first-call init (cold workers pay pandas imports)
     spark.range(1000).selectExpr("sum(id)").collect()
+    n = spark.sparkContext.defaultParallelism
+
+    def _warm(batches):
+        import pandas  # noqa: F401
+
+        time.sleep(1.0)
+        yield from batches
+
+    spark.range(0, n, 1, n).mapInPandas(_warm, "id long").count()
 
     # ---- index build (fresh every run) ----
     idx_dir = f"/tmp/admarus_bench_idx_{os.getpid()}"
@@ -63,6 +73,12 @@ def main() -> None:
     timed("bm25_nofm", lambda: eng.search("2(spark, stream, window)", 10).collect())
     timed("bm25_not", lambda: eng.search("batch AND NOT dup", 10).collect())
     timed("bm25_lang", lambda: eng.search("lang=es AND spark", 10).collect())
+    batch = {
+        "q1": "batch", "q2": "spark AND stream", "q3": "join hash window",
+        "q4": "2(spark, stream, window)", "q5": "batch AND NOT dup",
+        "q6": "merge sort order", "q7": "customer AND table", "q8": "vector / line",
+    }
+    timed("search_many_8q", lambda: eng.search_many(batch, 10).collect())
 
     qs = entry.queries()
     for name in (
