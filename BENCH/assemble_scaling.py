@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Assemble BENCH/SCALING.json from individual worker JSON files.
+
+Usage: python BENCH/assemble_scaling.py /tmp/sb_*.json
+Workers are the output of `python scale_bench.py --worker N` (one JSON line).
+Per-level minimum is used (one-sided environmental noise on the shared VM).
+"""
+
+import json
+import os
+import sys
+
+
+def main(paths: list[str]) -> None:
+    runs: dict[int, list[dict]] = {}
+    for p in paths:
+        try:
+            with open(p) as f:
+                r = json.loads(f.read().strip())
+            runs.setdefault(int(r["cpus"]), []).append(r)
+        except (OSError, ValueError, KeyError):
+            continue
+    levels = sorted(runs)
+    best = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
+    qbest = {c: min(r["query_sec"] for r in rs) for c, rs in runs.items()}
+    thr = {c: best[c]["n_docs"] / best[c]["build_sec"] for c in levels}
+    n_q = 10
+
+    def eff(metric, lo, hi):
+        if lo not in metric or hi not in metric:
+            return None
+        return round((metric[hi] / metric[lo]) / (hi / lo), 3)
+
+    qps = {c: n_q / qbest[c] for c in levels}
+    report = {
+        "n_docs": best[levels[0]]["n_docs"],
+        "total_tokens": best[levels[0]]["total_tokens"],
+        "samples": {f"local{c}": sorted(round(r["build_sec"], 2) for r in runs[c]) for c in levels},
+        "build_sec_min": {f"local{c}": round(best[c]["build_sec"], 2) for c in levels},
+        "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
+        "query_batch_sec_min": {f"local{c}": round(qbest[c], 2) for c in levels},
+        "scaling_efficiency": {
+            "build_2_to_8": eff(thr, 2, 8),
+            "build_8_to_32": eff(thr, 8, 32),
+            "build_2_to_32": eff(thr, 2, 32),
+            "query_2_to_8": eff(qps, 2, 8),
+            "query_8_to_32": eff(qps, 8, 32),
+        },
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

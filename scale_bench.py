@@ -37,11 +37,24 @@ def ensure_corpus() -> None:
 
     from admarus_spark.corpus import make_bench_corpus
 
-    pdf = make_bench_corpus(N_DOCS)
-    # small row groups -> the single file is splittable across many tasks
-    pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False), CORPUS_PARQUET, row_group_size=2048
-    )
+    # chunked generation bounds memory at large N; chunk prefix keeps
+    # (repo, path) globally unique. Small row groups -> splittable file.
+    chunk = 400_000
+    writer = None
+    done = 0
+    ci = 0
+    while done < N_DOCS:
+        n = min(chunk, N_DOCS - done)
+        pdf = make_bench_corpus(n, seed=13 + ci)
+        pdf["path"] = f"c{ci}/" + pdf["path"]
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(CORPUS_PARQUET, tbl.schema)
+        writer.write_table(tbl, row_group_size=2048)
+        done += n
+        ci += 1
+    if writer is not None:
+        writer.close()
 
 
 def worker(cpus: int) -> None:
