@@ -49,7 +49,7 @@ def ensure_corpus() -> None:
         pdf["path"] = f"c{ci}/" + pdf["path"]
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
         if writer is None:
-            writer = pq.ParquetWriter(CORPUS_PARQUET, tbl.schema)
+            writer = pq.ParquetWriter(CORPUS_PARQUET, tbl.schema, compression="snappy")
         writer.write_table(tbl, row_group_size=2048)
         done += n
         ci += 1
