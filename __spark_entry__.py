@@ -68,11 +68,14 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
 def _bm25_query(query_text: str, k: int = DEFAULT_K):
     """Engine search -> (path, score_r), ordered/limited on the rounded score
-    with (source, path) tie-break — the exact rule the SQL oracle uses."""
+    with (source, path) tie-break — the exact rule the SQL oracle uses.
+    ``k=None`` fetches EVERY gated match so the rounded-score re-rank can
+    never lose a doc straddling the cutoff (a fixed +N buffer could, when
+    more than N docs tie on the rounded score at the boundary)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
-        res = eng.search(query_text, k + 20)
+        res = eng.search(query_text, None)
         return (
             res.withColumn("score_r", F.round(F.col("score"), 9))
             .orderBy(F.desc("score_r"), F.asc("repo"), F.asc("path"))
@@ -224,7 +227,9 @@ def _bm25_grouped(query_text: str, gk: int = 5):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine(spark, sf_dir)
-        res = eng.search(query_text, 10**6)
+        # k=None: the group-by aggregates the full scored match set directly
+        # (regular join, no million-row top-k broadcast)
+        res = eng.search(query_text, None)
         return (
             res.groupBy(F.col("repo").alias("source"))
             .agg(F.round(F.max("score"), 9).alias("best_r"), F.count("*").alias("members"))

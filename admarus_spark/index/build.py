@@ -99,6 +99,41 @@ def _tokenize_tf_map(batches):
         )
 
 
+def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -> tuple[bytes, int]:
+    """Metadata ``name=value`` bloom built DISTRIBUTED: distinct values stay
+    on executors — each partition of the distinct stream folds its words into
+    a partial bloom, and only the fixed-size partial filters (one per
+    partition) plus their word counts reach the driver for the final bit-OR.
+    No ``distinct().collect()`` over a per-document-cardinality column (repo
+    is millions of values at corpus scale; lang is bounded but shares the
+    path). Returns (filter_bytes, n_meta_words)."""
+    words_df = None
+    for name in names:
+        if name in dd.columns:
+            part = dd.select(
+                F.concat(F.lit(f"{name}="), F.col(name).cast("string")).alias("word")
+            ).distinct()
+            words_df = part if words_df is None else words_df.unionByName(part)
+    if words_df is None:
+        return np.zeros(FILTER_BITS // 8, dtype=np.uint8).tobytes(), 0
+
+    def partial_bloom(batches):
+        words: list[str] = []
+        for pdf in batches:
+            words.extend(pdf["word"].tolist())
+        if words:
+            filt = build_filter(words, FILTER_BITS)
+            yield pd.DataFrame([{"filter": filt.tobytes(), "n": len(words)}])
+
+    parts = words_df.mapInPandas(partial_bloom, "filter binary, n long").collect()
+    acc = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
+    n_words = 0
+    for r in parts:
+        acc |= np.frombuffer(r["filter"], dtype=np.uint8)
+        n_words += int(r["n"])
+    return acc.tobytes(), n_words
+
+
 POSTINGS_SCHEMA = (
     "term string, df long, ids binary, tfs binary, dls binary, "
     "block_firsts array<long>, block_lens array<int>, "
@@ -149,6 +184,9 @@ class IndexBuilder:
     block_size: int = BLOCK_SIZE
     validate_sha: bool = True
     keep_tf: bool = True         # keep the stage-1 tf table (resume + debug)
+    # stage-1 manifest broadcast gate: rows above this take the sort-merge
+    # path (one manifest row PER DOCUMENT — never unconditionally broadcast)
+    broadcast_manifest_max: int = 2_000_000
     metrics: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -244,7 +282,15 @@ class IndexBuilder:
         # parallelism (no-op on real multi-split inputs)
         if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
             docs = docs.repartition(parallelism * 2)
-        with_ids = docs.join(F.broadcast(manifest_ids), ["repo", "path"])
+        # the broadcast hint is size-GATED: one manifest row per document, so
+        # an unconditional hint would OOM the driver at 10^12-file scale. Above
+        # the threshold the hint is dropped and AQE/sort-merge takes over
+        # (both sides hash-join on (repo, path)).
+        if n_total - n_invalid <= self.broadcast_manifest_max:
+            manifest_join = F.broadcast(manifest_ids)
+        else:
+            manifest_join = manifest_ids
+        with_ids = docs.join(manifest_join, ["repo", "path"])
 
         # "tokenize -> local posting lists" in ONE Arrow pass: per-doc term
         # frequencies are complete within a row, so tf is computed inside the
@@ -265,7 +311,7 @@ class IndexBuilder:
         )
         slim = docs.select("repo", "path", "commit", "lang", "content_sha256")
         (
-            slim.join(F.broadcast(manifest_ids), ["repo", "path"])
+            slim.join(manifest_join, ["repo", "path"])
             .join(doc_len, "doc_id", "left")
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("int"))
             .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
@@ -545,6 +591,10 @@ class IndexBuilder:
             "stage2_postings",
             lineage,
             {
+                # the routing modulus, persisted explicitly: the engine and
+                # incremental updater must NOT infer it from occupied buckets
+                # (a trailing zero-term bucket writes no partition row)
+                "n_buckets": self.n_buckets,
                 "n_terms": sum(per_bucket.values()),
                 "n_postings": sum(int(r["posts"] or 0) for r in rows),
                 "max_df": max((int(r["mx"] or 0) for r in rows), default=0),
@@ -571,16 +621,12 @@ class IndexBuilder:
         summaries = terms.groupBy("tb").applyInPandas(bloom_of, "tb int, kind string, filter binary")
 
         # metadata bloom: name=value words, as the reference adds filters to
-        # the same bloom (inner_im.rs:85). Distinct values are collected
-        # per-column (small by construction: lang, repo).
+        # the same bloom (inner_im.rs:85). Built as a distributed bit-OR fold
+        # over per-partition partial blooms — the driver never sees the
+        # distinct value set (repo is per-document cardinality at scale).
         dd = spark.read.parquet(paths.doc_dict)
-        meta_words: list[str] = []
-        for name in ("lang", "repo"):
-            if name in dd.columns:
-                vals = [r[0] for r in dd.select(name).distinct().collect()]
-                meta_words.extend(f"{name}={v}" for v in vals)
-        meta_filter = build_filter(meta_words, FILTER_BITS)
-        meta_pdf = pd.DataFrame([{"tb": -1, "kind": "meta", "filter": meta_filter.tobytes()}])
+        meta_bytes, n_meta_words = meta_bloom_bytes(dd)
+        meta_pdf = pd.DataFrame([{"tb": -1, "kind": "meta", "filter": meta_bytes}])
         meta_df = spark.createDataFrame(meta_pdf, schema="tb int, kind string, filter binary")
         summaries.unionByName(meta_df).coalesce(1).write.mode("overwrite").parquet(paths.summaries)
 
@@ -588,5 +634,5 @@ class IndexBuilder:
             self.index_dir,
             "stage3_summaries",
             lineage,
-            {"n_meta_words": len(meta_words), "filter_bits": FILTER_BITS, "seconds": time.time() - t0},
+            {"n_meta_words": n_meta_words, "filter_bits": FILTER_BITS, "seconds": time.time() - t0},
         )

@@ -65,17 +65,32 @@ class SearchEngine:
                 self.meta_bloom = filt
             else:
                 self.bucket_blooms[int(r["tb"])] = filt
-        self.n_buckets = (max(self.bucket_blooms) + 1) if self.bucket_blooms else 1
         blooms = list(self.bucket_blooms.values())
         base = np.bitwise_or.reduce(blooms) if blooms else np.zeros(FILTER_BITS // 8, np.uint8)
         self.global_bloom = np.bitwise_or(base, self.meta_bloom)
+        from ..index import checkpoint as _ckpt
+
+        stage2 = _ckpt.read_metrics(index_dir, "stage2_postings")
+        # n_buckets is the ROUTING modulus: it must be the configured bucket
+        # count, not max(occupied)+1 — a trailing bucket with zero terms
+        # writes no partition/summary row, and inferring from occupancy would
+        # route every term with the wrong modulus (silently empty results).
+        # Persisted in stage2 metrics; occupancy inference is the legacy
+        # fallback for pre-r2 indexes only.
+        n_b = stage2.get("n_buckets")
+        if n_b is not None:
+            self.n_buckets = int(n_b)
+        else:
+            self.n_buckets = (max(self.bucket_blooms) + 1) if self.bucket_blooms else 1
         # dictionary cache: for small dictionaries, (term -> df) is loaded
         # once at init so queries skip the per-query df-collect job; at
         # billion-term scale this stays lazy (per-query pruned collect).
         self.df_cache: dict[str, int] | None = None
-        from ..index import checkpoint as _ckpt
-
-        n_terms = _ckpt.read_metrics(index_dir, "stage2_postings").get("n_terms")
+        # persisted intermediates from the previous search_many/_finish call;
+        # released at the next query (or via release_cache) so a long-lived
+        # serving session does not leak executor cache (ADVICE r1).
+        self._live_cache: list[DataFrame] = []
+        n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = {
                 r["term"]: int(r["df"])
@@ -115,9 +130,28 @@ class SearchEngine:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def _track(self, df: DataFrame) -> DataFrame:
+        self._live_cache.append(df.persist())
+        return df
+
+    def release_cache(self) -> None:
+        """Unpersist intermediates cached by previous queries."""
+        for df in self._live_cache:
+            df.unpersist()
+        self._live_cache.clear()
+
     # --------------------------------------------------------------------
-    def search(self, query: str | Query, k: int = 10, wand: str = "auto") -> DataFrame:
-        """Top-k results: (doc_id, score, repo, path, commit, lang)."""
+    def search(
+        self, query: str | Query, k: int | None = 10, wand: str = "auto",
+        _keep_cache: bool = False,
+    ) -> DataFrame:
+        """Top-k results: (doc_id, score, repo, path, commit, lang).
+
+        ``k=None`` returns EVERY gated match ranked (no limit, no broadcast
+        dictionary join) — the shape downstream group-bys aggregate directly
+        instead of flowing through a huge top-k broadcast."""
+        if not _keep_cache:
+            self.release_cache()
         if isinstance(query, str):
             query = parse_query(query)
         # driver-side bloom short-circuit (inner_im.rs:91-94)
@@ -151,10 +185,13 @@ class SearchEngine:
                 df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
             else:
                 df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
-            use_wand = self.wand_safe and (
-                (wand == "on")
-                or (wand == "auto" and is_max_fold(query.root) and not pos_filters)
-            )
+            # block skipping is rank-safe ONLY for pure max-folds with no
+            # metadata filters: on AND/n-of-m/NOT shapes a skipped block
+            # zeroes a term's pivot column for docs still present via another
+            # term, flipping the gate. wand="on" therefore cannot override
+            # the shape guard — it only defeats the avgdl-staleness check.
+            shape_safe = is_max_fold(query.root) and not pos_filters and k is not None
+            use_wand = shape_safe and self.wand_safe and wand in ("on", "auto")
             if df_map:
                 decoded = self._decode(pruned, k if use_wand else None)
                 scored, term_col = self._score(decoded, df_map)
@@ -189,6 +226,7 @@ class SearchEngine:
         Returns (query_id, doc_id, score, repo, path, commit, lang), top-k
         per query by (score desc, doc_id asc).
         """
+        self.release_cache()
         parsed: dict[str, Query] = {
             qid: (parse_query(q) if isinstance(q, str) else q) for qid, q in queries.items()
         }
@@ -238,7 +276,7 @@ class SearchEngine:
                             c for c in ("lang", "repo") if c in self.doc_dict.columns
                         ]
                         scored = scored.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
-                    scored = scored.persist()
+                    scored = self._track(scored)
                     term_cols = {
                         t: F.coalesce(F.col(c), F.lit(0.0)) for t, c in term_col.items()
                     }
@@ -267,7 +305,7 @@ class SearchEngine:
                         )
         for qid, q in fallback.items():
             parts.append(
-                self.search(q, k).select(
+                self.search(q, k, _keep_cache=True).select(
                     F.lit(qid).alias("query_id"), "doc_id", "score"
                 )
             )
@@ -380,7 +418,7 @@ class SearchEngine:
 
         cand = None
         if scored is not None and pred is not None:
-            scored = scored.persist()  # referenced twice below
+            scored = self._track(scored)  # referenced twice below
             cand = scored.filter(pred).select("doc_id")
         for name, value in filter_sources:
             ids = self.doc_dict.filter(F.col(name) == F.lit(value)).select("doc_id")
@@ -393,7 +431,7 @@ class SearchEngine:
         return self._rank(query, cand, term_col, k)
 
     # --------------------------------------------------------------------
-    def _rank(self, query: Query, cand: DataFrame, term_col: dict[str, str], k: int) -> DataFrame:
+    def _rank(self, query: Query, cand: DataFrame, term_col: dict[str, str], k: int | None) -> DataFrame:
         """Fold + gate + global top-k + dictionary join over a candidate
         pivot table (doc_id + per-term score columns [+ meta columns])."""
         meta_names = _collect_filter_names(query.root)
@@ -411,10 +449,13 @@ class SearchEngine:
             .filter(gate)
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
-        # broadcast the k winners into the dictionary join (SURVEY.md §4 O3/O5)
-        out = self.doc_dict.join(F.broadcast(topk), "doc_id")
+        if k is not None:
+            # broadcast the k winners into the dictionary join (SURVEY §4
+            # O3/O5); with k=None the match set is unbounded, so it flows
+            # through a regular join instead of a broadcast
+            topk = F.broadcast(topk.limit(k))
+        out = self.doc_dict.join(topk, "doc_id")
         return out.select("doc_id", "score", "repo", "path", "commit", "lang").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

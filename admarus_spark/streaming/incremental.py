@@ -112,7 +112,17 @@ class IncrementalIndexer:
 
         new_posts = tf.groupBy("term").applyInPandas(encode_term, POSTINGS_SCHEMA)
         old = spark.read.parquet(paths.postings)
-        n_buckets = int(old.agg(F.max("tb")).collect()[0][0] or 0) + 1
+        # the routing modulus comes from the persisted stage2 metrics — NEVER
+        # from max(occupied tb)+1, which under-counts when the highest bucket
+        # happens to hold zero terms (and would write the same term under a
+        # second tb, splitting its postings)
+        from ..index import checkpoint as ckpt
+
+        n_b = ckpt.read_metrics(self.index_dir, "stage2_postings").get("n_buckets")
+        if n_b is not None:
+            n_buckets = int(n_b)
+        else:  # legacy pre-r2 index: occupancy inference
+            n_buckets = int(old.agg(F.max("tb")).collect()[0][0] or 0) + 1
         new_posts = new_posts.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
 
         # merge per term within affected buckets only: new ids > all old ids,
@@ -123,14 +133,24 @@ class IncrementalIndexer:
         old_aff = old.filter(F.col("tb").isin(affected))
         merged = _concat_postings(old_aff, new_posts)
 
+        # dynamic partition overwrite is scoped to THIS write: a session-wide
+        # set-and-forget would make a later full rebuild into the same
+        # index_dir leave stale tb partitions from the previous build on disk
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            merged.repartition(len(affected), "tb")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(paths.postings)
-        )
+        try:
+            (
+                merged.repartition(len(affected), "tb")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(paths.postings)
+            )
+        finally:
+            if prev_mode is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
         # append to doc_dict
         doc_len = tf.groupBy("doc_id").agg(F.max("dl").alias("doc_len"))
@@ -180,16 +200,15 @@ class IncrementalIndexer:
         old_summ = spark.read.parquet(paths.summaries).filter(
             (F.col("kind") == "meta") | ~F.col("tb").isin(affected)
         )
-        # meta bloom: rebuild (lang/repo value sets may have grown)
+        # meta bloom: rebuild (lang/repo value sets may have grown) — same
+        # distributed partial-bloom OR-fold as the full build (no driver-side
+        # distinct().collect() over repo)
+        from ..index.build import meta_bloom_bytes
+
         ddn = spark.read.parquet(paths.doc_dict)
-        meta_words: list[str] = []
-        for name in ("lang", "repo"):
-            if name in ddn.columns:
-                meta_words.extend(
-                    f"{name}={r[0]}" for r in ddn.select(name).distinct().collect()
-                )
+        meta_bytes, _ = meta_bloom_bytes(ddn)
         meta_pdf = pd.DataFrame(
-            [{"tb": -1, "kind": "meta", "filter": build_filter(meta_words, FILTER_BITS).tobytes()}]
+            [{"tb": -1, "kind": "meta", "filter": meta_bytes}]
         )
         meta_df = spark.createDataFrame(meta_pdf, schema="tb int, kind string, filter binary")
         summ = old_summ.filter(F.col("kind") != "meta").unionByName(fresh_summ).unionByName(meta_df)

@@ -119,3 +119,37 @@ def test_result_schema(movies_engine):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "score", "repo", "path", "commit", "lang",
     ]
+
+
+def test_empty_top_bucket_routing(spark, movies_pdf, movies_oracle, tmp_path):
+    """Routing modulus must come from the persisted n_buckets, not from
+    max(occupied bucket)+1: with n_buckets far above the term count, the
+    highest buckets hold zero terms and write no partition/summary row —
+    occupancy inference would mis-route every term (ADVICE r1, medium)."""
+    d = str(tmp_path / "idx_many_buckets")
+    IndexBuilder(spark, d, n_buckets=512, salt_chunks=2).build(
+        spark.createDataFrame(movies_pdf), input_token="many-buckets"
+    )
+    eng = SearchEngine(spark, d)
+    assert eng.n_buckets == 512
+    run_parity(eng, movies_oracle, ["hunger", "hunger AND games", "perfectly matching"])
+
+
+def test_search_k_none_returns_all_matches(movies_engine, movies_oracle):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in movies_engine.search("hunger", None).collect()
+    ]
+    want = movies_oracle.search("hunger", 10**9)
+    assert got == want
+
+
+def test_manifest_broadcast_gate_off(spark, movies_pdf, movies_oracle, tmp_path):
+    """Build with the stage-1 manifest broadcast gate forced OFF (threshold 0
+    -> sort-merge/AQE join path): results must be identical."""
+    d = str(tmp_path / "idx_nobc")
+    IndexBuilder(
+        spark, d, n_buckets=4, salt_chunks=2, broadcast_manifest_max=0
+    ).build(spark.createDataFrame(movies_pdf), input_token="nobc")
+    eng = SearchEngine(spark, d)
+    run_parity(eng, movies_oracle, ["hunger", "hunger / games", "lang=en AND hunger"])
