@@ -2,16 +2,19 @@
 
 - exact: hash-groupBy on content (md5 — identical hex in Spark and DuckDB)
 - MinHash + LSH banding: token-3-gram shingles → per-permutation min of a
-  salted md5 (string min == 128-bit numeric min) → band buckets → candidate
-  pairs via bucket self-join
-- SimHash: 60-bit sign fingerprint from tf-weighted md5 bits of terms
-- n-gram Jaccard: exact shingle-set Jaccard for pairs sharing >= 1 shingle
+  salted md5 (string min == 128-bit numeric min), ALL permutations in one
+  groupBy pass → band buckets → candidate pairs via bucket self-join
+- SimHash: 60-bit sign fingerprint from tf-weighted md5 bits of terms, all
+  60 bit-sums as conditional aggregates in one pass
+- n-gram Jaccard: shingle-set Jaccard for pairs sharing >= 1 kept shingle,
+  with a df-cap dropping boilerplate shingles (bounds the self-join)
 
 Scale notes: every operator is shuffle-on-key (content hash / shingle /
-bucket), no driver-side loops; the shingle self-joins are bounded by LSH
-banding (pairs come only from shared buckets, never a full cross join). md5
-here is the *portable* hash for oracle parity; at 100 TB you would swap
-``xxhash64`` in (same plan shape, one expression change — noted inline).
+bucket), ONE pass over the shingle/tf stream each (no crossJoin/explode
+multipliers), no driver-side loops; pair joins are bounded by LSH banding
+or the shingle df-cap (never a full cross join). md5 here is the *portable*
+hash for oracle parity; at 100 TB you would swap ``xxhash64`` in (same plan
+shape, one expression change — noted inline).
 """
 
 from __future__ import annotations
@@ -24,6 +27,9 @@ from ..tokenizer import make_tokenize_udf
 NUM_PERM = 12
 BAND_ROWS = 3          # 12 perms / 3 rows = 4 bands
 JACCARD_THRESHOLD = 0.5
+# shingles in more docs than this are boilerplate: excluded from the exact
+# Jaccard op on BOTH engines (bounds the self-join at O(cap^2) per shingle)
+MAX_SHINGLE_DF = 100
 
 _TOK_EXPR_DUCK = (
     "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)"
@@ -67,27 +73,36 @@ FROM documents GROUP BY md5(text)
 
 # ----------------------------------------------------------------------
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band buckets: (doc_id, band, bucket)."""
+    """LSH band buckets: (doc_id, band, bucket).
+
+    Single-pass signatures: ONE groupBy over the shingle stream computes all
+    NUM_PERM minima as conditional aggregates (map-side partial agg), instead
+    of crossJoin(perms) which shuffles the shingle stream x NUM_PERM (the r1
+    plan moved 12x the bytes for identical values). Banding stays a cheap
+    4-element explode over the already-aggregated per-doc signature row."""
     sh = _shingles(spark, sf_dir)
-    perms = spark.range(NUM_PERM).withColumnRenamed("id", "p")
-    sigs = (
-        sh.crossJoin(perms)
-        .groupBy("doc_id", "p")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("p"), F.col("shingle")))).alias("sig"))
+    sig_aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(p)), F.col("shingle")))).alias(f"sig_{p}")
+        for p in range(NUM_PERM)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*sig_aggs)
+    n_bands = NUM_PERM // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"sig_{p}") for p in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return (
-        sigs.withColumn("band", (F.col("p") / F.lit(BAND_ROWS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("p", "sig"))), lambda s: s["sig"]
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -125,7 +140,12 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_i
 
 # ----------------------------------------------------------------------
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash from tf-weighted term-hash bits: (doc_id, simhash)."""
+    """60-bit SimHash from tf-weighted term-hash bits: (doc_id, simhash).
+
+    Single-pass: all 60 bit-sums are conditional aggregates over the
+    (doc, term, tf) table — per-j substring positions are compile-time
+    constants, so the whole fingerprint is ONE whole-stage-codegen groupBy
+    (the r1 plan exploded each tf row x60 through two extra shuffles)."""
     tok = make_tokenize_udf()
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tf = (
@@ -134,22 +154,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))
     )
-    bits = tf.select(
-        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
-    )
-    nibble = F.expr("instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1")
-    bit = F.expr(
-        "(CAST(instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1 AS BIGINT)"
-        " >> CAST(3 - j % 4 AS INT)) & 1"
-    )
-    v = bits.withColumn("contrib", F.col("tf") * (F.lit(2) * bit - F.lit(1)))
-    return (
-        v.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("vj"))
-        .withColumn("bitval", F.when(F.col("vj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+
+    def bit(j: int):
+        pos, shift = j // 4 + 1, 3 - j % 4
+        return F.expr(
+            f"(CAST(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1 AS BIGINT)"
+            f" >> {shift}) & 1"
+        )
+
+    v_aggs = [
+        F.sum(F.col("tf") * (F.lit(2) * bit(j) - F.lit(1))).alias(f"v_{j}")
+        for j in range(60)
+    ]
+    v = tf.groupBy("doc_id").agg(*v_aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(60):
+        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return v.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 SIMHASH_SQL = f"""
@@ -176,9 +197,24 @@ FROM v GROUP BY doc_id
 
 # ----------------------------------------------------------------------
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard over distinct 3-gram shingle sets, for pairs sharing at
-    least one shingle; emits pairs with jaccard >= threshold."""
+    """Jaccard over distinct 3-gram shingle sets for pairs sharing at least
+    one shingle, with a document-frequency CAP on shingles: shingles present
+    in more than MAX_SHINGLE_DF docs (boilerplate — license headers, common
+    idioms) are excluded from BOTH the intersection join and the set sizes.
+    Without the cap the shingle self-join is O(df^2) per hot shingle — a
+    single million-doc boilerplate shingle alone would dominate the whole
+    job at corpus scale; with it, per-shingle join work is bounded by
+    MAX_SHINGLE_DF^2 and the hot-shingle exclusion list is tiny (an
+    auto-broadcast anti-join). Standard practice for near-dup mining; the
+    DuckDB oracle applies the identical cap."""
     sh = _shingles(spark, sf_dir).distinct()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -202,7 +238,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
+WITH sh0 AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
+kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
 sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i

@@ -12,10 +12,11 @@ sides; dot products are left-fold sums; outputs round to 6 dp, absorbing
 summation-order ulp noise while remaining far finer than real sim gaps.
 
 Scale notes: brute force is a broadcast of ONE query vector against a scan
-(fine at any corpus size for single queries); the near-dup pair join is the
-O(n^2) baseline — the LSH-bucketed variant is the scale path (candidates
-only within buckets). For batch k-NN at 10^12 scale you'd use IVF with
-k-means centroids; the bucket-join plan shape is identical.
+(fine at any corpus size for single queries); the near-dup pair op is
+LSH-bucketed (pairs only within buckets — per-bucket work (n/2^planes)^2),
+with the exact O(n^2) cartesian kept solely as a row-count-guarded baseline.
+For batch k-NN at 10^12 scale you'd use IVF with k-means centroids; the
+bucket-join plan shape is identical.
 """
 
 from __future__ import annotations
@@ -150,8 +151,60 @@ ORDER BY sim_r DESC, vec_id ASC LIMIT {TOP_K}
 
 # ----------------------------------------------------------------------
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold (O(n^2) baseline)."""
+    """Embedding-cosine near-dup pairs above threshold, LSH-bucketed: the
+    pair join runs ONLY within sign-LSH buckets (join on bucket, refine by
+    exact cosine) — per-bucket work is (n/2^planes)^2, never a corpus-level
+    cartesian. Cross-bucket near-dups are traded away, as in any LSH blocking
+    scheme; the DuckDB oracle applies the identical bucketing. The unguarded
+    exact cartesian lives in ``neardup_pairs_exact`` behind a row-count
+    guard."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
+    buckets = lsh_buckets(spark, sf_dir)
+    eb = e.join(buckets, "vec_id")
+    a = eb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = eb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_r", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim_r") >= NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "sim_r")
+    )
+
+
+NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (SELECT vec_id AS p, v AS pv FROM e WHERE vec_id BETWEEN 1 AND {NB_PLANES}),
+signs AS (
+  SELECT e.vec_id,
+         CASE WHEN {_DOT_DUCK.format(a='e.v', b='planes.pv')} > 0 THEN 1 ELSE 0 END AS bit, p
+  FROM e, planes
+),
+buckets AS (
+  SELECT vec_id, sum(CAST(bit AS BIGINT) << CAST(p - 1 AS INT))::BIGINT AS bucket
+  FROM signs GROUP BY vec_id
+),
+eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_duck('a.v', 'b.v')}, 6) AS sim_r
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos_duck('a.v', 'b.v')}, 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+def neardup_pairs_exact(
+    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
+) -> DataFrame:
+    """Exact O(n^2) cosine pair baseline, GUARDED: refuses to run above
+    ``max_rows`` vectors (the cartesian is a recall yardstick for small
+    samples, never a corpus-scale plan — use ``neardup_pairs``)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"neardup_pairs_exact is O(n^2); {n} vectors > guard {max_rows}. "
+            "Use neardup_pairs (LSH-bucketed) at scale."
+        )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
@@ -161,15 +214,6 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_r") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "sim_r")
     )
-
-
-NEARDUP_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_cos_duck('a.v', 'b.v')}, 6) AS sim_r
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_cos_duck('a.v', 'b.v')}, 6) >= {NEARDUP_THRESHOLD}
-"""
 
 
 QUERIES = {
