@@ -240,6 +240,69 @@ def _bm25_grouped(query_text: str, gk: int = 5):
     return run
 
 
+def _bm25_grouped_anchored(query_text: str, gk: int = 25):
+    """G1+G3: title-anchored grouping with small-group disband
+    (format.rs:114-141, ranked.rs:141-162). Group key = 10-doc directory
+    (path prefix, G2); title = first 8 tokens; groups without a member whose
+    title satisfies the AST, or with <= 3 members, are disbanded into
+    individual results. Output (key, score_r, members)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from admarus_spark.query.parser import parse_query
+        from admarus_spark.search.grouping import TITLE_TOKENS, group_anchored
+
+        eng = _engine(spark, sf_dir)
+        res = eng.search(query_text, None)
+        tok = make_tokenize_udf()
+        titles = _documents(spark, sf_dir).select(
+            F.concat(
+                F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 10, "0")
+            ).alias("path"),
+            F.slice(tok(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
+        )
+        return group_anchored(
+            res,
+            titles,
+            parse_query(query_text).root,
+            group_key=F.substring("path", 1, 13),
+            limit=gk,
+        )
+
+    return run
+
+
+def _bm25_grouped_anchored_oracle(
+    terms: list[str], gate: str, score: str, gk: int = 25
+) -> str:
+    tmatch = " AND ".join(f"list_contains(dt.tt, '{t}')" for t in terms)
+    return f"""
+{_bm25_res_ctes(terms, gate, score)},
+t AS (
+  SELECT r.doc_id, r.score,
+         'doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0') AS path,
+         substr('doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0'), 1, 13) AS grp,
+         ({tmatch}) AS tm
+  FROM res r
+  JOIN (SELECT doc_id, ({_TOK_EXPR})[1:8] AS tt FROM documents) dt
+    ON dt.doc_id = r.doc_id
+),
+g AS (
+  SELECT grp, max(score) AS best, count(*) AS members,
+         max(CASE WHEN tm THEN 1 ELSE 0 END) AS anch
+  FROM t GROUP BY grp
+)
+SELECT key, score_r, members FROM (
+  SELECT grp AS key, round(best, 9) AS score_r, members
+  FROM g WHERE anch = 1 AND members >= 4
+  UNION ALL
+  SELECT t.path AS key, round(t.score, 9) AS score_r, 1::BIGINT AS members
+  FROM t JOIN g USING (grp) WHERE NOT (g.anch = 1 AND g.members >= 4)
+)
+ORDER BY score_r DESC, key ASC
+LIMIT {gk}
+"""
+
+
 def _bm25_grouped_oracle(terms: list[str], gate: str, score: str, gk: int = 5) -> str:
     return f"""
 {_bm25_res_ctes(terms, gate, score)}
@@ -267,6 +330,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_not": _bm25_query("batch AND NOT dup"),
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
     "bm25_grouped": _bm25_grouped("batch"),
+    "bm25_grouped_anchored": _bm25_grouped_anchored("spark AND stream"),
 }
 
 _TOK_EXPR = (
@@ -325,6 +389,9 @@ _FULLTEXT_ORACLES: dict[str, str] = {
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
     ),
     "bm25_grouped": _bm25_grouped_oracle(["batch"], gate="s_0 > 0", score="s_0"),
+    "bm25_grouped_anchored": _bm25_grouped_anchored_oracle(
+        ["spark", "stream"], gate="s_0 > 0 AND s_1 > 0", score="(s_0 + s_1) / 2"
+    ),
 }
 
 

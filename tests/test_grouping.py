@@ -1,0 +1,54 @@
+"""G1/G3 grouping semantics (format.rs:114-141, ranked.rs:141-162):
+title-anchored groups kept only above the disband threshold; everything
+else emitted as individual results."""
+
+from pyspark.sql import functions as F
+
+from admarus_spark.query.parser import parse_query
+from admarus_spark.search.grouping import compile_title_match, group_anchored
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "path string, ttoks array<string>")
+
+
+def test_group_anchored_keeps_and_disbands(spark):
+    # dir a/: 4 members, one title-anchored       -> kept as a group
+    # dir b/: 4 members, NO title anchor (G1)     -> disbanded
+    # dir c/: 3 members, anchored but small (G3)  -> disbanded
+    results = spark.createDataFrame(
+        [(f"{d}/{i}", 1.0 + i / 10.0) for d in "abc" for i in range(4 if d != "c" else 3)],
+        "path string, score double",
+    )
+    titles = _toks(
+        spark,
+        [(f"a/{i}", ["x"] if i else ["foo"]) for i in range(4)]
+        + [(f"b/{i}", ["x"]) for i in range(4)]
+        + [(f"c/{i}", ["foo"]) for i in range(3)],
+    )
+    out = group_anchored(
+        results, titles, parse_query("foo").root, group_key=F.substring("path", 1, 1)
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["a"]["members"] == 4 and by_key["a"]["score_r"] == 1.3
+    assert "b" not in by_key and "c" not in by_key
+    assert {k for k in by_key if k.startswith("b/")} == {f"b/{i}" for i in range(4)}
+    assert {k for k in by_key if k.startswith("c/")} == {f"c/{i}" for i in range(3)}
+    assert all(by_key[f"b/{i}"]["members"] == 1 for i in range(4))
+
+
+def test_title_match_ast_shapes(spark):
+    df = _toks(spark, [("p", ["alpha", "beta", "gamma"])])
+    cases = [
+        ("alpha AND beta", True),
+        ("alpha AND delta", False),
+        ("alpha AND NOT delta", True),
+        ("2(alpha, delta, gamma)", True),
+        ("2(alpha, delta, epsilon)", False),
+        ("lang=en AND alpha", False),  # filters never satisfy a title
+    ]
+    for q, want in cases:
+        got = df.select(
+            compile_title_match(parse_query(q).root, F.col("ttoks")).alias("m")
+        ).collect()[0]["m"]
+        assert got == want, q
