@@ -23,6 +23,8 @@ same ln() bits (float-parity note in oracle.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +58,20 @@ class SearchEngine:
             self.wand_safe = True
         self.doc_dict = spark.read.parquet(self.paths.doc_dict)
         self.postings = spark.read.parquet(self.paths.postings)
+        # tombstones: stale generations of changed documents (incremental
+        # upsert). Dead ids are anti-joined out of decoded postings BEFORE
+        # ranking and out of the dictionary; block-max skipping is disabled
+        # because the stored bounds may be dominated by dead docs (rank
+        # safety). The set stays small relative to the corpus (a full
+        # rebuild compacts); broadcast anti-join keeps this shuffle-free.
+        tomb_path = os.path.join(index_dir, "tombstones")
+        self.tombstones: DataFrame | None = None
+        if os.path.exists(tomb_path):
+            self.tombstones = spark.read.parquet(tomb_path)
+            self.doc_dict = self.doc_dict.join(
+                F.broadcast(self.tombstones), "doc_id", "left_anti"
+            )
+            self.wand_safe = False
         # driver-side summaries (tiny): per-bucket term blooms + meta bloom
         self.bucket_blooms: dict[int, np.ndarray] = {}
         self.meta_bloom = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
@@ -358,7 +374,10 @@ class SearchEngine:
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
 
-        return src.mapInPandas(decode_map, "term string, doc_id long, tf long, dl long")
+        out = src.mapInPandas(decode_map, "term string, doc_id long, tf long, dl long")
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
+        return out
 
     # --------------------------------------------------------------------
     def _score(self, decoded: DataFrame, df_map: dict[str, int]) -> tuple[DataFrame, dict[str, str]]:

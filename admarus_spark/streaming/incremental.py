@@ -7,9 +7,15 @@ The reference re-crawls periodically, dedups against its ``listed`` /
 ``:37-38,68-75,99-100``). Our batch analog:
 
 - ``IncrementalIndexer.update(delta)`` dedups the incoming rows against the
-  existing ``doc_dict`` on (repo, path): already-indexed paths are skipped
-  (changed content is counted and skipped too — tombstone/delete support is
-  out of scope for v1, like the reference, which never deletes).
+  LIVE ``doc_dict`` on (repo, path): unchanged paths are skipped; a path
+  whose ``content_sha256`` changed is re-indexed as a NEW document (the
+  reference keys documents by CID, so changed content IS a new document —
+  ``index.rs:68-75``) and the stale doc id is appended to a ``tombstones``
+  table. The engine anti-joins tombstones out of decoded postings before
+  ranking and out of the dictionary, and disables block-max skipping
+  (bounds may count dead docs); per-term ``df`` keeps counting dead docs
+  until a full rebuild compacts them — the standard Lucene-style deletes
+  tradeoff (rank drift bounded by the tombstone fraction).
 - New docs get doc ids ``max_id + 1 ...`` in lexicographic (repo, path)
   order *within the delta* — arrival-order semantics, exactly the
   reference's ``LocalCid`` counter behavior across refresh rounds.
@@ -27,6 +33,7 @@ The reference re-crawls periodically, dedups against its ``listed`` /
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -64,8 +71,27 @@ class IncrementalIndexer:
         if "content_sha256" not in delta.columns:
             delta = delta.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         n_delta = delta.count()
-        # dedup against the existing corpus on (repo, path) — index.rs:99-100
-        fresh = delta.join(dd.select("repo", "path"), ["repo", "path"], "left_anti")
+        # LIVE view of the corpus: doc_dict minus tombstoned ids (a changed
+        # path's previous generation)
+        tomb_path = os.path.join(self.index_dir, "tombstones")
+        live = dd
+        if os.path.exists(tomb_path):
+            live = dd.join(spark.read.parquet(tomb_path), "doc_id", "left_anti")
+        # dedup against the live corpus on (repo, path) — index.rs:99-100
+        new_paths = delta.join(live.select("repo", "path"), ["repo", "path"], "left_anti")
+        # changed content on an existing path -> re-index as a NEW document
+        # (reference: new CID, index.rs:68-75); tombstone the old id
+        prev = live.select(
+            "repo", "path",
+            F.col("content_sha256").alias("_old_sha"),
+            F.col("doc_id").alias("_old_id"),
+        )
+        changed = delta.join(prev, ["repo", "path"]).filter(
+            F.col("content_sha256") != F.col("_old_sha")
+        )
+        old_ids = changed.select(F.col("_old_id").alias("doc_id"))
+        n_changed = changed.count()
+        fresh = new_paths.unionByName(changed.select(*delta.columns))
         # arrival-order ids: lexicographic within the delta, appended after
         # max_id (small delta: a driver-side rank over the slim manifest)
         manifest = fresh.select("repo", "path").withColumn(
@@ -75,7 +101,10 @@ class IncrementalIndexer:
         with_ids = fresh.join(F.broadcast(manifest), ["repo", "path"])
         n_new = manifest.count()
         if n_new == 0:
-            return {"rows_in": n_delta, "rows_new": 0, "seconds": time.time() - t0}
+            return {
+                "rows_in": n_delta, "rows_new": 0, "rows_changed": 0,
+                "seconds": time.time() - t0,
+            }
 
         tf = with_ids.select("doc_id", "content").mapInPandas(
             _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
@@ -163,9 +192,18 @@ class IncrementalIndexer:
             .parquet(paths.doc_dict)
         )
 
-        # stats: recompute; bm_avgdl unchanged (block-max staleness marker)
+        # tombstone the replaced generations (append-only; a full rebuild
+        # compacts them away)
+        if n_changed:
+            old_ids.write.mode("append").parquet(tomb_path)
+
+        # stats: recompute over LIVE docs; bm_avgdl unchanged (block-max
+        # staleness marker)
+        dd_now = spark.read.parquet(paths.doc_dict)
+        if os.path.exists(tomb_path):
+            dd_now = dd_now.join(spark.read.parquet(tomb_path), "doc_id", "left_anti")
         agg = (
-            spark.read.parquet(paths.doc_dict)
+            dd_now
             .agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt"))
             .collect()[0]
         )
@@ -221,6 +259,7 @@ class IncrementalIndexer:
         return {
             "rows_in": n_delta,
             "rows_new": int(n_new),
+            "rows_changed": int(n_changed),
             "affected_buckets": affected,
             "n_docs": n_docs,
             "seconds": time.time() - t0,

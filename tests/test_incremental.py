@@ -80,3 +80,43 @@ def test_new_docs_are_searchable(spark, inc_setup):
     # the same rare id may also exist in the base corpus (same generator);
     # what matters: the delta doc is indexed and retrievable
     assert any(r["path"].startswith("extra/") for r in res)
+
+
+def test_changed_content_reindexed(spark, tmp_path):
+    """A delta row whose content_sha256 differs on an existing (repo, path)
+    must be re-indexed (reference: changed content is a NEW document,
+    index.rs:68-75): new postings win, the stale generation is tombstoned
+    out of results, and stats move to the new content."""
+    base = make_docs_corpus(120, seed=7)
+    d = str(tmp_path / "idx_upsert")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="up-base"
+    )
+    n0 = SearchEngine(spark, d).n_docs
+
+    changed = base.iloc[[5]].copy()
+    changed["content"] = "zzchangedmarker parser lexer " + changed["content"]
+    import hashlib
+
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(changed), input_token="up-delta")
+    assert m["rows_changed"] == 1 and m["rows_new"] == 1
+    assert m["n_docs"] == n0  # replaced, not added
+
+    eng = SearchEngine(spark, d)
+    # the new content is searchable under the same path
+    hits = eng.search("zzchangedmarker", 5).collect()
+    assert [r["path"] for r in hits] == [changed["path"].iloc[0]]
+    # the old generation never appears: path occurs at most once per query
+    for q in ("license", "parser", "zzchangedmarker"):
+        paths = [r["path"] for r in eng.search(q, 10**6).collect()]
+        assert len(paths) == len(set(paths)), q
+    # stats moved: total_tokens reflects the longer replacement content
+    assert eng.n_docs == n0
+
+    # re-sending the same changed row is now a no-op (sha matches live row)
+    m2 = inc.update(spark.createDataFrame(changed), input_token="up-delta-2")
+    assert m2["rows_new"] == 0 and m2["rows_changed"] == 0
