@@ -136,13 +136,13 @@ def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -
 
 POSTINGS_SCHEMA = (
     "term string, df long, ids binary, tfs binary, dls binary, "
-    "block_firsts array<long>, block_lens array<int>, "
+    "block_firsts array<long>, block_lasts array<long>, block_lens array<int>, "
     "ids_offs array<long>, tfs_offs array<long>, dls_offs array<long>, "
     "block_max array<double>"
 )
 PARTIAL_SCHEMA = (
     "term string, chunk int, df long, ids binary, tfs binary, dls binary, "
-    "block_firsts array<long>, block_lens array<int>, "
+    "block_firsts array<long>, block_lasts array<long>, block_lens array<int>, "
     "ids_offs array<long>, tfs_offs array<long>, dls_offs array<long>, "
     "block_max array<double>"
 )
@@ -201,6 +201,7 @@ class IndexBuilder:
             "validate_sha": self.validate_sha,
             "hot_df_threshold": self.hot_df_threshold,
             "strategy": self.strategy,
+            "schema": 2,  # block_lasts metadata added (r2)
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -411,6 +412,7 @@ class IndexBuilder:
                 "tfs": enc["tfs_blob"],
                 "dls": enc["dls_blob"],
                 "block_firsts": enc["block_firsts"],
+                "block_lasts": enc["block_lasts"],
                 "block_lens": enc["block_lens"],
                 "ids_offs": enc["ids_offs"],
                 "tfs_offs": enc["tfs_offs"],
@@ -468,6 +470,7 @@ class IndexBuilder:
                         "tfs": enc["tfs_blob"],
                         "dls": enc["dls_blob"],
                         "block_firsts": enc["block_firsts"],
+                        "block_lasts": enc["block_lasts"],
                         "block_lens": enc["block_lens"],
                         "ids_offs": enc["ids_offs"],
                         "tfs_offs": enc["tfs_offs"],
@@ -500,6 +503,7 @@ class IndexBuilder:
                     "tfs_blob": r.tfs,
                     "dls_blob": r.dls,
                     "block_firsts": list(r.block_firsts),
+                    "block_lasts": list(r.block_lasts),
                     "block_lens": list(r.block_lens),
                     "ids_offs": list(r.ids_offs),
                     "tfs_offs": list(r.tfs_offs),
@@ -537,6 +541,7 @@ class IndexBuilder:
                             "tfs": enc["tfs_blob"],
                             "dls": enc["dls_blob"],
                             "block_firsts": enc["block_firsts"],
+                            "block_lasts": enc["block_lasts"],
                             "block_lens": enc["block_lens"],
                             "ids_offs": enc["ids_offs"],
                             "tfs_offs": enc["tfs_offs"],
@@ -556,6 +561,7 @@ class IndexBuilder:
                         "tfs": m["tfs_blob"],
                         "dls": m["dls_blob"],
                         "block_firsts": m["block_firsts"],
+                        "block_lasts": m["block_lasts"],
                         "block_lens": m["block_lens"],
                         "ids_offs": m["ids_offs"],
                         "tfs_offs": m["tfs_offs"],

@@ -102,8 +102,11 @@ def encode_postings(
 ) -> dict:
     """Encode one term's posting list (doc_ids sorted ascending).
 
-    Returns dict with: ids_blob, tfs_blob, dls_blob (bytes), block_firsts
-    (int64 list), block_lens (int32 list).
+    Returns dict with: ids_blob, tfs_blob, dls_blob (bytes), block_firsts /
+    block_lasts (int64 lists — per-block id range bounds; lasts are the
+    standard block-max metadata enabling exact range-based block skipping
+    even after chunk-concatenated merges, where firsts alone are not
+    monotonic), block_lens (int32 list).
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
@@ -127,6 +130,7 @@ def encode_postings(
         "tfs_blob": tfs_blob,
         "dls_blob": dls_blob,
         "block_firsts": doc_ids[block_starts].tolist(),
+        "block_lasts": doc_ids[block_starts + block_lens.astype(np.int64) - 1].tolist(),
         "block_lens": block_lens.tolist(),
         "ids_offs": _offs(ids_lens),
         "tfs_offs": _offs(tfs_lens),
@@ -197,6 +201,7 @@ def merge_encoded_chunks(chunks: list[dict]) -> dict:
         "tfs_blob": b"".join(c["tfs_blob"] for c in chunks),
         "dls_blob": b"".join(c["dls_blob"] for c in chunks),
         "block_firsts": [x for c in chunks for x in c["block_firsts"]],
+        "block_lasts": [x for c in chunks for x in c.get("block_lasts", [])],
         "block_lens": [x for c in chunks for x in c["block_lens"]],
     }
     for key, blob_key in (("ids_offs", "ids_blob"), ("tfs_offs", "tfs_blob"), ("dls_offs", "dls_blob")):

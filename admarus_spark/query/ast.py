@@ -128,6 +128,22 @@ def _positive_filters(c: QueryComp) -> list[tuple[str, str]]:
     raise TypeError(type(c))
 
 
+def required_words(c: QueryComp) -> set[str]:
+    """Words that EVERY matching doc must contain: a Word matches only docs
+    holding it, and an NAmong with n == len(among) requires all children.
+    Any other shape guarantees nothing. Drives conjunctive decode pruning
+    (engine._decode): candidates are bounded by the rarest required word's
+    postings — exact, since docs lacking it fail the fold gate."""
+    if isinstance(c, Word):
+        return {c.word}
+    if isinstance(c, NAmong) and c.n == len(c.among):
+        out: set[str] = set()
+        for ch in c.among:
+            out |= required_words(ch)
+        return out
+    return set()
+
+
 def clone_only_words(c: QueryComp) -> QueryComp | None:
     """Strip Filter comps, decrementing n per stripped child (query.rs:48-71)."""
     if isinstance(c, Word):

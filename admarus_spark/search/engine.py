@@ -36,7 +36,7 @@ from ..index.build import IndexPaths
 from ..index.codec import decode_postings
 from ..murmur import term_bucket
 from ..oracle import bm25_idf
-from ..query.ast import Filter, NAmong, Not, Query, QueryComp, Word
+from ..query.ast import Filter, NAmong, Not, Query, QueryComp, Word, required_words
 from ..query.parser import parse_query
 from .fold import compile_fold, is_max_fold
 
@@ -102,6 +102,10 @@ class SearchEngine:
         # once at init so queries skip the per-query df-collect job; at
         # billion-term scale this stays lazy (per-query pruned collect).
         self.df_cache: dict[str, int] | None = None
+        # conjunctive decode pruning kicks in when the rarest required word
+        # has df at or below this (its ids are decoded driver-side and
+        # shipped in the decode closure — ~8 bytes/doc)
+        self.and_prune_max_df = 100_000
         # persisted intermediates from the previous search_many/_finish call;
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
@@ -208,8 +212,24 @@ class SearchEngine:
             # the shape guard — it only defeats the avgdl-staleness check.
             shape_safe = is_max_fold(query.root) and not pos_filters and k is not None
             use_wand = shape_safe and self.wand_safe and wand in ("on", "auto")
+            # conjunctive decode pruning (the AND/n-of-n analog of WAND):
+            # every match must contain ALL required words, so the rarest
+            # required word's posting ids bound the candidate set EXACTLY —
+            # other terms skip blocks whose id range holds no candidate and
+            # drop non-candidate rows after decode. Unlike block-max
+            # skipping this is shape-exact, not merely rank-safe.
+            cand_ids = None
+            req = required_words(query.root)
+            if req and wand != "off" and not use_wand:
+                missing = req - set(df_map)
+                if missing:
+                    return self._empty_result()  # a required word is unindexed
+                if len(df_map) > 1:
+                    rare = min(req, key=lambda t: df_map[t])
+                    if df_map[rare] <= self.and_prune_max_df:
+                        cand_ids = self._collect_term_ids(rare)
             if df_map:
-                decoded = self._decode(pruned, k if use_wand else None)
+                decoded = self._decode(pruned, k if use_wand else None, cand_ids)
                 scored, term_col = self._score(decoded, df_map)
 
         if scored is None and not has_filter_cands:
@@ -336,31 +356,74 @@ class SearchEngine:
         ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     # --------------------------------------------------------------------
-    def _decode(self, pruned: DataFrame, wand_k: int | None) -> DataFrame:
+    def _collect_term_ids(self, term: str) -> np.ndarray:
+        """Driver-side decode of ONE term's posting ids (for conjunctive
+        pruning): fetch the term's compressed blobs (partition-pruned,
+        bounded by its df) and decode locally. Returns sorted int64 ids."""
+        tb = term_bucket(term, self.n_buckets)
+        rows = (
+            self.postings.filter((F.col("tb") == tb) & (F.col("term") == term))
+            .select("ids", "tfs", "dls", "block_firsts", "block_lens",
+                    "ids_offs", "tfs_offs", "dls_offs")
+            .collect()
+        )
+        parts = [
+            decode_postings(
+                r["ids"], r["tfs"], r["dls"], list(r["block_firsts"]),
+                list(r["block_lens"]), None,
+                list(r["ids_offs"]), list(r["tfs_offs"]), list(r["dls_offs"]),
+            )[0]
+            for r in rows
+        ]
+        ids = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return np.sort(ids)
+
+    # --------------------------------------------------------------------
+    def _decode(
+        self, pruned: DataFrame, wand_k: int | None, cand_ids: np.ndarray | None = None
+    ) -> DataFrame:
         """Arrow-batched posting decode; the inner loop is NumPy over blocks.
 
         With ``wand_k`` set (rank-safe only for max-fold queries), blocks are
         visited in descending block-max order and skipped once >= k docs with
         saturation >= the block's upper bound are known — block-max WAND
-        specialized to per-term lists (SURVEY.md §4 O12)."""
+        specialized to per-term lists (SURVEY.md §4 O12).
+
+        With ``cand_ids`` set (conjunctive pruning; mutually exclusive with
+        ``wand_k``), a block is decoded only when its id range [first_i,
+        first_{i+1}) intersects the candidate set, and decoded rows outside
+        the set are dropped — exact, because every true match is a candidate."""
         cols = [
             "term", "ids", "tfs", "dls",
             "block_firsts", "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
         ]
+        # block_lasts: per-block id upper bounds (r2 schema). Legacy indexes
+        # without it decode all blocks; the row filter keeps exactness.
+        has_lasts = "block_lasts" in pruned.columns
+        if has_lasts:
+            cols.append("block_lasts")
         src = pruned.select(*cols)
         k1, b, avgdl = BM25_K1, BM25_B, self.avgdl
 
         def decode_map(batches):
+            cand = None if cand_ids is None else np.asarray(cand_ids, dtype=np.int64)
             for pdf in batches:
                 frames = []
                 for r in pdf.itertuples():  # one row per term — tiny row count
                     keep = None
                     if wand_k is not None:
                         keep = _select_blocks_topk(r, wand_k, k1, b, avgdl)
+                    elif cand is not None and has_lasts:
+                        keep = _select_blocks_intersect(r, cand)
                     ids, tfs, dls = decode_postings(
                         r.ids, r.tfs, r.dls, r.block_firsts, r.block_lens,
                         keep, r.ids_offs, r.tfs_offs, r.dls_offs,
                     )
+                    if cand is not None and ids.size:
+                        pos = np.searchsorted(cand, ids)
+                        pos[pos == cand.size] = cand.size - 1
+                        m = cand[pos] == ids
+                        ids, tfs, dls = ids[m], tfs[m], dls[m]
                     frames.append(
                         pd.DataFrame(
                             {
@@ -491,6 +554,22 @@ def _collect_filter_names(comp: QueryComp) -> set[str]:
             out |= _collect_filter_names(c)
         return out
     return set()
+
+
+def _select_blocks_intersect(r, cand: np.ndarray) -> np.ndarray:
+    """Keep mask for conjunctive pruning: block i spans ids [first_i,
+    last_i] (stored bounds — NOT inferred from the next block's first,
+    which is invalid after chunk-concatenated merges where per-chunk runs
+    interleave); keep it iff the sorted candidate array has any id in that
+    closed range. Exact decode reduction: a skipped block holds no
+    candidate, and non-candidates cannot pass the conjunctive fold gate."""
+    firsts = np.asarray(r.block_firsts, dtype=np.int64)
+    if firsts.size == 0 or cand.size == 0:
+        return np.zeros(firsts.size, dtype=bool)
+    lasts = np.asarray(r.block_lasts, dtype=np.int64)
+    lo = np.searchsorted(cand, firsts, side="left")
+    hi = np.searchsorted(cand, lasts, side="right")
+    return hi > lo
 
 
 def _select_blocks_topk(r, k: int, k1: float, b: float, avgdl: float) -> np.ndarray:

@@ -130,6 +130,7 @@ class IncrementalIndexer:
                         "tfs": enc["tfs_blob"],
                         "dls": enc["dls_blob"],
                         "block_firsts": enc["block_firsts"],
+                        "block_lasts": enc["block_lasts"],
                         "block_lens": enc["block_lens"],
                         "ids_offs": enc["ids_offs"],
                         "tfs_offs": enc["tfs_offs"],
@@ -290,7 +291,8 @@ def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:
         chunks = [
             {
                 "ids_blob": r.ids, "tfs_blob": r.tfs, "dls_blob": r.dls,
-                "block_firsts": list(r.block_firsts), "block_lens": list(r.block_lens),
+                "block_firsts": list(r.block_firsts), "block_lasts": list(r.block_lasts),
+                "block_lens": list(r.block_lens),
                 "ids_offs": list(r.ids_offs), "tfs_offs": list(r.tfs_offs),
                 "dls_offs": list(r.dls_offs),
             }
@@ -304,7 +306,8 @@ def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:
                     "term": term,
                     "df": int(pdf["df"].sum()),
                     "ids": m["ids_blob"], "tfs": m["tfs_blob"], "dls": m["dls_blob"],
-                    "block_firsts": m["block_firsts"], "block_lens": m["block_lens"],
+                    "block_firsts": m["block_firsts"], "block_lasts": m["block_lasts"],
+                    "block_lens": m["block_lens"],
                     "ids_offs": m["ids_offs"], "tfs_offs": m["tfs_offs"],
                     "dls_offs": m["dls_offs"], "block_max": bmax,
                     "tb": int(tb),

@@ -153,3 +153,44 @@ def test_manifest_broadcast_gate_off(spark, movies_pdf, movies_oracle, tmp_path)
     ).build(spark.createDataFrame(movies_pdf), input_token="nobc")
     eng = SearchEngine(spark, d)
     run_parity(eng, movies_oracle, ["hunger", "hunger / games", "lang=en AND hunger"])
+
+
+def test_conjunctive_pruning_exact(docs_engine, docs_oracle):
+    """AND/n-of-n decode pruning must be EXACT (not just rank-safe) at any
+    k: with the rarest required word bounding candidates, results equal the
+    unpruned oracle bit-for-bit. Also covers required-word-missing early
+    exit and the pruning-disabled control."""
+    queries = [
+        "license AND parser",
+        "license AND rareterm000063z",
+        "3(parser, lexer, bloom)",          # n == len -> all required
+        "license AND parser AND NOT bloom",  # Not child inside n==len AND
+        "lang=python AND bloom",             # filter child, word required
+    ]
+    for k in (3, 10, 10**6):
+        run_parity(docs_engine, docs_oracle, queries, k=k)
+    # control: pruning off (threshold 0) gives identical results
+    old = docs_engine.and_prune_max_df
+    try:
+        docs_engine.and_prune_max_df = 0
+        run_parity(docs_engine, docs_oracle, queries)
+    finally:
+        docs_engine.and_prune_max_df = old
+
+
+def test_conjunctive_pruning_reduces_decode(docs_engine):
+    """The pruned decode must emit strictly fewer rows for a hot term when
+    candidates come from a rare conjunct."""
+    from pyspark.sql import functions as F
+
+    eng = docs_engine
+    rare_ids = eng._collect_term_ids("rareterm000063z")
+    assert rare_ids.size >= 1
+    tb = __import__("admarus_spark.murmur", fromlist=["term_bucket"]).term_bucket(
+        "license", eng.n_buckets
+    )
+    pruned = eng.postings.filter((F.col("tb") == tb) & (F.col("term") == "license"))
+    full = eng._decode(pruned, None).count()
+    cut = eng._decode(pruned, None, rare_ids).count()
+    assert cut < full
+    assert cut == rare_ids.size or cut <= rare_ids.size  # only candidate rows
