@@ -99,17 +99,25 @@ def worker(cpus: int) -> None:
     eng.search_many(qmap, 10).collect()
     query_sec = time.time() - t0
     stats = b.metrics["stage1_tokenize"]
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "build_sec": build_sec,
-                "query_sec": query_sec,
-                "n_docs": stats["n_docs"],
-                "total_tokens": stats["total_tokens"],
-            }
-        )
+    spark.stop()
+    line = json.dumps(
+        {
+            "cpus": cpus,
+            "build_sec": build_sec,
+            "query_sec": query_sec,
+            "n_docs": stats["n_docs"],
+            "total_tokens": stats["total_tokens"],
+            # per-stage wall seconds (from the checkpoint metrics): the
+            # stage ladder shows WHICH phase stops scaling (tokenize/encode
+            # are compute-bound; the posting merge is shuffle/IO-bound)
+            "stage_sec": {
+                s: round(b.metrics[s]["seconds"], 2)
+                for s in ("stage1_tokenize", "stage2_postings", "stage3_summaries")
+            },
+        }
     )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def run_worker(cpus: int) -> dict:
@@ -142,6 +150,7 @@ def main() -> None:
     def eff(metric, lo, hi):
         return round((metric[hi] / metric[lo]) / (hi / lo), 3) if lo in metric and hi in metric else None
 
+    pairs = [(lo, hi) for lo in levels for hi in levels if hi == 4 * lo]
     report = {
         "rounds": rounds,
         "n_docs": best[levels[0]]["n_docs"],
@@ -149,13 +158,12 @@ def main() -> None:
         "all_build_secs": {f"local{c}": [round(r["build_sec"], 2) for r in runs[c]] for c in levels},
         "build_sec": {f"local{c}": round(best[c]["build_sec"], 2) for c in levels},
         "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
+        "stage_sec": {f"local{c}": best[c].get("stage_sec") for c in levels},
         "query_batch_sec": {f"local{c}": round(qbest[c], 2) for c in levels},
         "query_qps": {f"local{c}": round(qps[c], 2) for c in levels},
         "scaling_efficiency": {
-            "build_2_to_8": eff(thr, 2, 8),
-            "build_8_to_32": eff(thr, 8, 32),
-            "query_2_to_8": eff(qps, 2, 8),
-            "query_8_to_32": eff(qps, 8, 32),
+            **{f"build_{lo}_to_{hi}": eff(thr, lo, hi) for lo, hi in pairs},
+            **{f"query_{lo}_to_{hi}": eff(qps, lo, hi) for lo, hi in pairs},
         },
     }
     os.makedirs("BENCH", exist_ok=True)
