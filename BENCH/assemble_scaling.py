@@ -32,19 +32,19 @@ def main(paths: list[str]) -> None:
         return round((metric[hi] / metric[lo]) / (hi / lo), 3)
 
     qps = {c: n_q / qbest[c] for c in levels}
+    pairs = [(lo, hi) for lo in levels for hi in levels if hi == 4 * lo]
     report = {
         "n_docs": best[levels[0]]["n_docs"],
         "total_tokens": best[levels[0]]["total_tokens"],
         "samples": {f"local{c}": sorted(round(r["build_sec"], 2) for r in runs[c]) for c in levels},
         "build_sec_min": {f"local{c}": round(best[c]["build_sec"], 2) for c in levels},
         "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
+        "stage_sec": {f"local{c}": best[c].get("stage_sec") for c in levels},
         "query_batch_sec_min": {f"local{c}": round(qbest[c], 2) for c in levels},
         "scaling_efficiency": {
-            "build_2_to_8": eff(thr, 2, 8),
-            "build_8_to_32": eff(thr, 8, 32),
+            **{f"build_{lo}_to_{hi}": eff(thr, lo, hi) for lo, hi in pairs},
             "build_2_to_32": eff(thr, 2, 32),
-            "query_2_to_8": eff(qps, 2, 8),
-            "query_8_to_32": eff(qps, 8, 32),
+            **{f"query_{lo}_to_{hi}": eff(qps, lo, hi) for lo, hi in pairs},
         },
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")

@@ -62,18 +62,37 @@ from .codec import (
     merge_encoded_chunks,
 )
 
+MARKER_TERM = ""  # per-doc marker row; real tokens are always len >= 3
+
+
 def _tokenize_tf_map(batches):
     """Arrow-batched (doc_id, content) -> (doc_id, term, tf, dl): the
     reference's tokenize + per-doc posting upsert (inner_im.rs:62-87) as one
     vectorized pass — factorize the batch's token stream, then a single
-    np.unique over combined (row, term-code) keys yields every tf."""
+    np.unique over combined (row, term-code) keys yields every tf.
+
+    Each doc ALSO emits one MARKER row (term="", tf=0, dl=token count): the
+    marker stream IS the per-doc length table and the liveness set, so
+    doc_dict and stats never re-scan content (one content scan per build)
+    and doc_len needs no groupBy shuffle."""
     from ..tokenizer import tokenize_series
 
     for pdf in batches:
         toks = tokenize_series(pdf["content"])
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         total = int(lens.sum())
+        doc_ids = pdf["doc_id"].to_numpy()
+        markers = pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "term": np.repeat(MARKER_TERM, len(pdf)),
+                "tf": np.zeros(len(pdf), dtype=np.int64),
+                "dl": lens,
+            }
+        )
         if total == 0:
+            if len(pdf):
+                yield markers
             continue
         flat = np.empty(total, dtype=object)
         pos = 0
@@ -89,13 +108,19 @@ def _tokenize_tf_map(batches):
         u, counts = np.unique(keys, return_counts=True)
         r = (u // nu).astype(np.int64)
         c = (u % nu).astype(np.int64)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].to_numpy()[r],
-                "term": np.asarray(uniques, dtype=object)[c],
-                "tf": counts.astype(np.int64),
-                "dl": lens[r],
-            }
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[r],
+                        "term": np.asarray(uniques, dtype=object)[c],
+                        "tf": counts.astype(np.int64),
+                        "dl": lens[r],
+                    }
+                ),
+                markers,
+            ],
+            ignore_index=True,
         )
 
 
@@ -201,7 +226,7 @@ class IndexBuilder:
             "validate_sha": self.validate_sha,
             "hot_df_threshold": self.hot_df_threshold,
             "strategy": self.strategy,
-            "schema": 2,  # block_lasts metadata added (r2)
+            "schema": 3,  # r2: block_lasts metadata; tf marker rows
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -225,28 +250,32 @@ class IndexBuilder:
         spark = self.spark
 
         # per-row invariant (input_hint): sha256(content) == content_sha256.
-        # One agg job yields both the row count and the invalid count.
+        # The check runs INSIDE the scans that must read content anyway
+        # (tokenize, doc_dict) — a dedicated validation pass would scan and
+        # hash the full content column one extra time. n_total comes from a
+        # column-pruned count (near metadata-speed on parquet); the invalid
+        # count falls out as n_total - n_docs.
         if self.validate_sha and "content_sha256" in docs.columns:
-            docs = docs.withColumn("_sha_ok", F.sha2(F.col("content"), 256) == F.col("content_sha256"))
-            agg0 = docs.agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(~F.col("_sha_ok"), 1).otherwise(0)).alias("bad"),
-            ).collect()[0]
-            n_total, n_invalid = int(agg0["n"]), int(agg0["bad"] or 0)
-            docs = docs.filter(F.col("_sha_ok")).drop("_sha_ok")
+            n_total = int(docs.count())
+            valid = docs.filter(
+                F.sha2(F.col("content"), 256) == F.col("content_sha256")
+            )
         else:
             docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            n_total, n_invalid = int(docs.count()), 0
+            n_total = int(docs.count())
+            valid = docs
 
-        # Deterministic dense doc ids: rank of (repo, path) lexicographic.
-        # Content never shuffles for this: ids are assigned on a slim
-        # (repo, path) MANIFEST (range-shuffle + per-partition offsets +
-        # Arrow offset pass over a few bytes per row), then joined back to
-        # the content rows. At bench scale the manifest broadcasts (zero
-        # content movement); at 10^12-file scale the same plan degrades
+        # Deterministic doc ids: rank of (repo, path) lexicographic over ALL
+        # input rows — the manifest scan reads ONLY (repo, path) (content
+        # never decoded, never shuffled); sha-invalid rows are dropped by the
+        # content-bearing scans later, leaving holes in the id space (ids
+        # stay stable and collision-free; the dictionary defines liveness).
+        # Ids are assigned by range-shuffle + per-partition offsets + an
+        # Arrow offset pass over a few bytes per row. At bench scale the
+        # manifest broadcasts; at 10^12-file scale the same plan degrades
         # gracefully to a sort-merge join on (repo, path).
         parallelism = spark.sparkContext.defaultParallelism
-        n_parts = max(1, min(parallelism, max(1, (n_total - n_invalid) // 50)))
+        n_parts = max(1, min(parallelism, max(1, n_total // 50)))
         manifest = (
             docs.select("repo", "path")
             .repartitionByRange(n_parts, "repo", "path")
@@ -281,17 +310,17 @@ class IndexBuilder:
         # a locally-generated corpus often arrives as few parquet splits — the
         # tokenize stage would under-parallelize; widen to the session's
         # parallelism (no-op on real multi-split inputs)
-        if docs.rdd.getNumPartitions() < max(2, parallelism // 2):
-            docs = docs.repartition(parallelism * 2)
+        if valid.rdd.getNumPartitions() < max(2, parallelism // 2):
+            valid = valid.repartition(parallelism * 2)
         # the broadcast hint is size-GATED: one manifest row per document, so
         # an unconditional hint would OOM the driver at 10^12-file scale. Above
         # the threshold the hint is dropped and AQE/sort-merge takes over
         # (both sides hash-join on (repo, path)).
-        if n_total - n_invalid <= self.broadcast_manifest_max:
+        if n_total <= self.broadcast_manifest_max:
             manifest_join = F.broadcast(manifest_ids)
         else:
             manifest_join = manifest_ids
-        with_ids = docs.join(manifest_join, ["repo", "path"])
+        with_ids = valid.join(manifest_join, ["repo", "path"])
 
         # "tokenize -> local posting lists" in ONE Arrow pass: per-doc term
         # frequencies are complete within a row, so tf is computed inside the
@@ -304,17 +333,19 @@ class IndexBuilder:
         )
         tf.write.mode("overwrite").parquet(paths.tf)
 
-        # doc_dict from slim columns only (content pruned at the scan) plus
-        # doc_len re-derived from the compact tf parquet; zero-token docs
-        # get doc_len 0 via the left join.
+        # doc_dict from slim columns only — the scan reads NO content: the
+        # sha-valid liveness set and per-doc length both come from the
+        # marker rows of the tf table (one row per valid doc, zero-token
+        # docs included), so the inner join doubles as the validity filter.
         doc_len = (
-            spark.read.parquet(paths.tf).groupBy("doc_id").agg(F.max("dl").alias("doc_len"))
+            spark.read.parquet(paths.tf)
+            .filter(F.col("term") == MARKER_TERM)
+            .select("doc_id", F.col("dl").cast("int").alias("doc_len"))
         )
         slim = docs.select("repo", "path", "commit", "lang", "content_sha256")
         (
             slim.join(manifest_join, ["repo", "path"])
-            .join(doc_len, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("int"))
+            .join(doc_len, "doc_id")
             .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
             .write.mode("overwrite")
             .parquet(paths.doc_dict)
@@ -326,6 +357,7 @@ class IndexBuilder:
             .collect()[0]
         )
         n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+        n_invalid = n_total - n_docs
         avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
         stats_pdf = pd.DataFrame(
             [
@@ -380,7 +412,7 @@ class IndexBuilder:
         chunk_span = max(1, math.ceil(n_docs / self.salt_chunks))
         block_size = self.block_size
 
-        tf = spark.read.parquet(paths.tf)
+        tf = spark.read.parquet(paths.tf).filter(F.col("term") != MARKER_TERM)
         hot_terms: list[str] = []
         if self.strategy == "salted-groupby":
             # hot iff a single-task encode would exceed ~2 salt chunks of docs

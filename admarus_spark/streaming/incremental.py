@@ -106,9 +106,12 @@ class IncrementalIndexer:
                 "seconds": time.time() - t0,
             }
 
-        tf = with_ids.select("doc_id", "content").mapInPandas(
+        tf_all = with_ids.select("doc_id", "content").mapInPandas(
             _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
         )
+        from ..index.build import MARKER_TERM
+
+        tf = tf_all.filter(F.col("term") != MARKER_TERM)
         bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
         block_size = self.block_size
 
@@ -182,8 +185,11 @@ class IncrementalIndexer:
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-        # append to doc_dict
-        doc_len = tf.groupBy("doc_id").agg(F.max("dl").alias("doc_len"))
+        # append to doc_dict (per-doc length from the tokenize marker rows —
+        # no groupBy; zero-token docs carry dl=0 markers)
+        doc_len = tf_all.filter(F.col("term") == MARKER_TERM).select(
+            "doc_id", F.col("dl").cast("int").alias("doc_len")
+        )
         (
             with_ids.select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
             .join(doc_len, "doc_id", "left")
