@@ -159,6 +159,51 @@ def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -
     return acc.tobytes(), n_words
 
 
+def _merge_term_chunks(
+    term, chunk_rows: list[dict], block_size: int, avgdl: float
+) -> dict:
+    """Merge one term's per-chunk encodings (chunk_rows ordered by chunk).
+    Small merged lists (many 1-2 doc fragments) are decoded and re-encoded
+    into dense sorted blocks; larger ones are pure blob concatenation with
+    offset shifts (blocks are self-contained)."""
+    df_total = sum(int(c["df"]) for c in chunk_rows)
+    if len(chunk_rows) > 1 and df_total <= 4 * block_size:
+        parts = [
+            decode_postings(
+                c["ids_blob"], c["tfs_blob"], c["dls_blob"],
+                c["block_firsts"], c["block_lens"],
+            )
+            for c in chunk_rows
+        ]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        o = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[o], tfs[o], dls[o]
+        enc = encode_postings(ids, tfs, dls, block_size)
+        bstarts = np.cumsum(
+            np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
+        )
+        bmax = block_max_saturation(tfs, dls, avgdl, bstarts).tolist()
+    else:
+        enc = merge_encoded_chunks(chunk_rows)
+        bmax = [x for c in chunk_rows for x in c["block_max"]]
+    return {
+        "term": term,
+        "df": df_total,
+        "ids": enc["ids_blob"],
+        "tfs": enc["tfs_blob"],
+        "dls": enc["dls_blob"],
+        "block_firsts": enc["block_firsts"],
+        "block_lasts": enc["block_lasts"],
+        "block_lens": enc["block_lens"],
+        "ids_offs": enc["ids_offs"],
+        "tfs_offs": enc["tfs_offs"],
+        "dls_offs": enc["dls_offs"],
+        "block_max": bmax,
+    }
+
+
 POSTINGS_SCHEMA = (
     "term string, df long, ids binary, tfs binary, dls binary, "
     "block_firsts array<long>, block_lasts array<long>, block_lens array<int>, "
@@ -412,7 +457,19 @@ class IndexBuilder:
         chunk_span = max(1, math.ceil(n_docs / self.salt_chunks))
         block_size = self.block_size
 
-        tf = spark.read.parquet(paths.tf).filter(F.col("term") != MARKER_TERM)
+        # coalesce the tf scan to ~2 partitions per core: the global 4MB
+        # split size (right for content scans) would shred tf into hundreds
+        # of tiny encode tasks — each partition becomes one local index
+        # chunk, so fewer/larger partitions mean less task-scheduling
+        # overhead AND fewer per-term fragments for the merge (and fewer,
+        # denser blocks for the query side). coalesce() merges splits
+        # without a shuffle.
+        parallelism = spark.sparkContext.defaultParallelism
+        tf = (
+            spark.read.parquet(paths.tf)
+            .coalesce(max(2, parallelism * 2))
+            .filter(F.col("term") != MARKER_TERM)
+        )
         hot_terms: list[str] = []
         if self.strategy == "salted-groupby":
             # hot iff a single-task encode would exceed ~2 salt chunks of docs
@@ -526,91 +583,94 @@ class IndexBuilder:
             cold = None
             partial = tf.mapInPandas(encode_local, PARTIAL_SCHEMA)
 
+        def _chunk_dict(r) -> dict:
+            return {
+                "df": int(r.df),
+                "ids_blob": r.ids,
+                "tfs_blob": r.tfs,
+                "dls_blob": r.dls,
+                "block_firsts": list(r.block_firsts),
+                "block_lasts": list(r.block_lasts),
+                "block_lens": list(r.block_lens),
+                "ids_offs": list(r.ids_offs),
+                "tfs_offs": list(r.tfs_offs),
+                "dls_offs": list(r.dls_offs),
+                "block_max": list(r.block_max),
+            }
+
         def merge_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             (term,) = key
             pdf = pdf.sort_values("chunk", kind="mergesort")
-            chunks = [
-                {
-                    "ids_blob": r.ids,
-                    "tfs_blob": r.tfs,
-                    "dls_blob": r.dls,
-                    "block_firsts": list(r.block_firsts),
-                    "block_lasts": list(r.block_lasts),
-                    "block_lens": list(r.block_lens),
-                    "ids_offs": list(r.ids_offs),
-                    "tfs_offs": list(r.tfs_offs),
-                    "dls_offs": list(r.dls_offs),
-                }
-                for r in pdf.itertuples()
-            ]
-            df_total = int(pdf["df"].sum())
-            if len(chunks) > 1 and df_total <= 4 * block_size:
-                # rare-term path: many 1-2 doc fragments would bloat block
-                # metadata; decode + re-encode into dense sorted blocks
-                parts = [
-                    decode_postings(
-                        c["ids_blob"], c["tfs_blob"], c["dls_blob"],
-                        c["block_firsts"], c["block_lens"],
-                    )
-                    for c in chunks
-                ]
-                ids = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                dls = np.concatenate([p[2] for p in parts])
-                o = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[o], tfs[o], dls[o]
-                enc = encode_postings(ids, tfs, dls, block_size)
-                bstarts = np.cumsum(
-                    np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
-                )
-                bmax2 = block_max_saturation(tfs, dls, avgdl, bstarts)
-                return pd.DataFrame(
-                    [
-                        {
-                            "term": term,
-                            "df": df_total,
-                            "ids": enc["ids_blob"],
-                            "tfs": enc["tfs_blob"],
-                            "dls": enc["dls_blob"],
-                            "block_firsts": enc["block_firsts"],
-                            "block_lasts": enc["block_lasts"],
-                            "block_lens": enc["block_lens"],
-                            "ids_offs": enc["ids_offs"],
-                            "tfs_offs": enc["tfs_offs"],
-                            "dls_offs": enc["dls_offs"],
-                            "block_max": bmax2.tolist(),
-                        }
-                    ]
-                )
-            m = merge_encoded_chunks(chunks)
-            bmax = [x for r in pdf.itertuples() for x in r.block_max]
-            return pd.DataFrame(
-                [
-                    {
-                        "term": term,
-                        "df": int(pdf["df"].sum()),
-                        "ids": m["ids_blob"],
-                        "tfs": m["tfs_blob"],
-                        "dls": m["dls_blob"],
-                        "block_firsts": m["block_firsts"],
-                        "block_lasts": m["block_lasts"],
-                        "block_lens": m["block_lens"],
-                        "ids_offs": m["ids_offs"],
-                        "tfs_offs": m["tfs_offs"],
-                        "dls_offs": m["dls_offs"],
-                        "block_max": bmax,
-                    }
-                ]
-            )
+            chunks = [_chunk_dict(r) for r in pdf.itertuples()]
+            return pd.DataFrame([_merge_term_chunks(term, chunks, block_size, avgdl)])
 
-        merged = cold
-        if partial is not None:
-            hot_merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
-            merged = hot_merged if merged is None else merged.unionByName(hot_merged)
-        merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(self.n_buckets)))
+        n_buckets = self.n_buckets
+
+        def merge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            """Merge ALL terms of one term-hash bucket in a single pandas
+            call: a per-TERM applyInPandas pays Spark/Arrow group overhead x
+            |vocabulary| (~100k groups — measured as the dominant cost of
+            the merge stage); per-BUCKET grouping amortizes it to n_buckets
+            groups, with a NumPy boundary walk over (term, chunk)-sorted
+            rows inside. Single-chunk terms (the overwhelming majority of
+            the dictionary) pass through without touching their blobs.
+            Memory is bounded by the bucket's compressed size — n_buckets
+            scales with the corpus (the bucket IS the shard unit)."""
+            (tb,) = key
+            terms = pdf["term"].to_numpy()
+            order = np.lexsort((pdf["chunk"].to_numpy(), terms))
+            terms_s = terms[order]
+            bounds = np.flatnonzero(terms_s[1:] != terms_s[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [terms_s.size]))
+            keep_cols = [
+                "term", "df", "ids", "tfs", "dls", "block_firsts", "block_lasts",
+                "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
+            ]
+            single_idx: list[int] = []
+            merged_rows: list[dict] = []
+            for s, e in zip(starts, ends):
+                idxs = order[s:e]
+                if e - s == 1:
+                    single_idx.append(int(idxs[0]))
+                    continue
+                chunks = [_chunk_dict(r) for r in pdf.iloc[idxs].itertuples()]
+                merged_rows.append(
+                    _merge_term_chunks(terms_s[s], chunks, block_size, avgdl)
+                )
+            frames = []
+            if single_idx:
+                frames.append(pdf.iloc[single_idx][keep_cols])
+            if merged_rows:
+                frames.append(pd.DataFrame(merged_rows)[keep_cols])
+            out = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0].reset_index(drop=True)
+            )
+            out = out.sort_values("term", kind="mergesort", ignore_index=True)
+            out["tb"] = int(tb)
+            return out
+
+        if self.strategy == "salted-groupby":
+            merged = cold
+            if partial is not None:
+                hot_merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
+                merged = hot_merged if merged is None else merged.unionByName(hot_merged)
+            merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
+            merged = merged.repartition(n_buckets, "tb")
+        else:
+            # local-merge: assign tb BEFORE the merge so ONE shuffle both
+            # co-locates each term's chunks and lands them in their final
+            # bucket; the write needs no further repartition
+            partial_tb = partial.withColumn(
+                "tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets))
+            )
+            merged = partial_tb.groupBy("tb").applyInPandas(
+                merge_bucket, POSTINGS_SCHEMA + ", tb int"
+            )
         (
-            merged.repartition(self.n_buckets, "tb")
-            .sortWithinPartitions("term")
+            merged.sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("tb")
             .parquet(paths.postings)
