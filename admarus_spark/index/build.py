@@ -464,10 +464,12 @@ class IndexBuilder:
         # overhead AND fewer per-term fragments for the merge (and fewer,
         # denser blocks for the query side). coalesce() merges splits
         # without a shuffle.
+        # floor of 16 keeps each local-index chunk's sort/concat bounded
+        # (one giant partition sorts superlinearly and spikes task memory)
         parallelism = spark.sparkContext.defaultParallelism
         tf = (
             spark.read.parquet(paths.tf)
-            .coalesce(max(2, parallelism * 2))
+            .coalesce(max(16, parallelism * 2))
             .filter(F.col("term") != MARKER_TERM)
         )
         hot_terms: list[str] = []

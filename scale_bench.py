@@ -82,7 +82,7 @@ def worker(cpus: int) -> None:
     widx = f"/tmp/admarus_scale_warm_{cpus}"
     shutil.rmtree(widx, ignore_errors=True)
     IndexBuilder(spark, widx, n_buckets=8, salt_chunks=2).build(
-        docs.limit(2000), input_token=f"warm:{cpus}:{time.time()}", resume=False
+        docs.limit(1000), input_token=f"warm:{cpus}:{time.time()}", resume=False
     )
     shutil.rmtree(widx, ignore_errors=True)
     idx = f"/tmp/admarus_scale_idx_{cpus}"
@@ -91,13 +91,16 @@ def worker(cpus: int) -> None:
     b = IndexBuilder(spark, idx, n_buckets=32, salt_chunks=8)
     b.build(docs, input_token=f"scale:{cpus}:{time.time()}", resume=False)
     build_sec = time.time() - t0
-    eng = SearchEngine(spark, idx)
-    eng.search("license", 10).collect()  # engine warmup (summaries, plans)
-    qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
-    eng.search_many(qmap, 10).collect()  # plan warmup
-    t0 = time.time()
-    eng.search_many(qmap, 10).collect()
-    query_sec = time.time() - t0
+    if os.environ.get("SPARK_GRAFT_SCALE_SKIP_QUERY"):
+        query_sec = None  # build-only run (big-corpus ladders under a timeout)
+    else:
+        eng = SearchEngine(spark, idx)
+        eng.search("license", 10).collect()  # engine warmup (summaries, plans)
+        qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
+        eng.search_many(qmap, 10).collect()  # plan warmup
+        t0 = time.time()
+        eng.search_many(qmap, 10).collect()
+        query_sec = time.time() - t0
     stats = b.metrics["stage1_tokenize"]
     spark.stop()
     line = json.dumps(
