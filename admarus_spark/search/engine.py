@@ -228,6 +228,10 @@ class SearchEngine:
                     rare = min(req, key=lambda t: df_map[t])
                     if df_map[rare] <= self.and_prune_max_df:
                         cand_ids = self._collect_term_ids(rare)
+            if cand_ids is not None and cand_ids.size == 0:
+                # a required/cover word has an empty posting list (stale
+                # df_cache after an external update): no doc can match
+                return self._empty_result()
             if df_map:
                 decoded = self._decode(pruned, k if use_wand else None, cand_ids)
                 scored, term_col = self._score(decoded, df_map)
@@ -420,10 +424,17 @@ class SearchEngine:
                         keep, r.ids_offs, r.tfs_offs, r.dls_offs,
                     )
                     if cand is not None and ids.size:
-                        pos = np.searchsorted(cand, ids)
-                        pos[pos == cand.size] = cand.size - 1
-                        m = cand[pos] == ids
-                        ids, tfs, dls = ids[m], tfs[m], dls[m]
+                        # guard the empty candidate set (stale df_cache or a
+                        # corrupt index could hand us one): cand[pos] on an
+                        # empty array would raise; the right answer is simply
+                        # "no rows survive" (ADVICE r2)
+                        if cand.size:
+                            pos = np.searchsorted(cand, ids)
+                            pos[pos == cand.size] = cand.size - 1
+                            m = cand[pos] == ids
+                            ids, tfs, dls = ids[m], tfs[m], dls[m]
+                        else:
+                            ids, tfs, dls = ids[:0], tfs[:0], dls[:0]
                     frames.append(
                         pd.DataFrame(
                             {

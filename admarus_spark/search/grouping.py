@@ -67,9 +67,18 @@ def group_anchored(
     ids — path is the stable join key).
     """
     tm = compile_title_match(query_root, F.col("ttoks"))
+    # Join on (repo, path) when both sides carry repo — path alone fans out
+    # across same-path repos; and LEFT join so a result path missing from
+    # titles is still emitted (as a never-anchoring member) instead of being
+    # silently dropped (ADVICE r2). A null title makes tm null -> false.
+    join_keys = (
+        ["repo", "path"]
+        if "repo" in results.columns and "repo" in titles.columns
+        else ["path"]
+    )
     per = (
-        results.join(titles, "path")
-        .withColumn("tm", tm)
+        results.join(titles, join_keys, "left")
+        .withColumn("tm", F.coalesce(tm, F.lit(False)))
         .withColumn("grp", group_key)
         .select("grp", "path", "score", "tm")
     )

@@ -72,11 +72,18 @@ class IncrementalIndexer:
             delta = delta.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         n_delta = delta.count()
         # LIVE view of the corpus: doc_dict minus tombstoned ids (a changed
-        # path's previous generation)
+        # path's previous generation). Dead ids are PINNED driver-side (the
+        # set is small by design — a full rebuild compacts it): every later
+        # lazy recomputation of the delta joins then sees one consistent
+        # snapshot, regardless of when this update's own tombstones land.
         tomb_path = os.path.join(self.index_dir, "tombstones")
-        live = dd
+        dead_prev: list[int] = []
         if os.path.exists(tomb_path):
-            live = dd.join(spark.read.parquet(tomb_path), "doc_id", "left_anti")
+            dead_prev = [int(r["doc_id"]) for r in spark.read.parquet(tomb_path).collect()]
+        live = dd
+        if dead_prev:
+            dead_df = spark.createDataFrame([(i,) for i in dead_prev], "doc_id long")
+            live = dd.join(F.broadcast(dead_df), "doc_id", "left_anti")
         # dedup against the live corpus on (repo, path) — index.rs:99-100
         new_paths = delta.join(live.select("repo", "path"), ["repo", "path"], "left_anti")
         # changed content on an existing path -> re-index as a NEW document
@@ -89,8 +96,12 @@ class IncrementalIndexer:
         changed = delta.join(prev, ["repo", "path"]).filter(
             F.col("content_sha256") != F.col("_old_sha")
         )
-        old_ids = changed.select(F.col("_old_id").alias("doc_id"))
-        n_changed = changed.count()
+        # the replaced generations' ids, pinned driver-side (small: bounded by
+        # the delta row count)
+        changed_ids = sorted(
+            int(r["_old_id"]) for r in changed.select("_old_id").collect()
+        )
+        n_changed = len(changed_ids)
         fresh = new_paths.unionByName(changed.select(*delta.columns))
         # arrival-order ids: lexicographic within the delta, appended after
         # max_id (small delta: a driver-side rank over the slim manifest)
@@ -105,6 +116,19 @@ class IncrementalIndexer:
                 "rows_in": n_delta, "rows_new": 0, "rows_changed": 0,
                 "seconds": time.time() - t0,
             }
+
+        # Tombstone the replaced generations FIRST (ADVICE r2): if the update
+        # dies between here and the doc_dict append, the interim state is
+        # "changed doc temporarily missing" — re-running the update restores
+        # it. The old order (append new generation, then tombstone) could
+        # leave BOTH generations live with no marker: silent duplicates.
+        if n_changed:
+            (
+                spark.createDataFrame([(i,) for i in changed_ids], "doc_id long")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(tomb_path)
+            )
 
         tf_all = with_ids.select("doc_id", "content").mapInPandas(
             _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
@@ -145,6 +169,14 @@ class IncrementalIndexer:
 
         new_posts = tf.groupBy("term").applyInPandas(encode_term, POSTINGS_SCHEMA)
         old = spark.read.parquet(paths.postings)
+        if "block_lasts" not in old.columns:
+            # fail FAST on legacy pre-r2 indexes (no per-block id bounds):
+            # the merge below reads block_lasts unconditionally, and dying
+            # mid-write would corrupt the bucket partitions (ADVICE r2)
+            raise ValueError(
+                "legacy index without block_lasts metadata: incremental "
+                "update unsupported — run a full rebuild first"
+            )
         # the routing modulus comes from the persisted stage2 metrics — NEVER
         # from max(occupied tb)+1, which under-counts when the highest bucket
         # happens to hold zero terms (and would write the same term under a
@@ -198,11 +230,6 @@ class IncrementalIndexer:
             .write.mode("append")
             .parquet(paths.doc_dict)
         )
-
-        # tombstone the replaced generations (append-only; a full rebuild
-        # compacts them away)
-        if n_changed:
-            old_ids.write.mode("append").parquet(tomb_path)
 
         # stats: recompute over LIVE docs; bm_avgdl unchanged (block-max
         # staleness marker)

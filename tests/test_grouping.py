@@ -37,6 +37,27 @@ def test_group_anchored_keeps_and_disbands(spark):
     assert all(by_key[f"b/{i}"]["members"] == 1 for i in range(4))
 
 
+def test_group_anchored_missing_title_and_repo_dup(spark):
+    """ADVICE r2: a result whose path is missing from titles must still be
+    emitted (as a disbanded singleton), and duplicate paths across repos must
+    not fan the title join out when repo is present on both sides."""
+    results = spark.createDataFrame(
+        [("r1", "a/0", 1.0), ("r2", "a/0", 2.0), ("r1", "b/0", 3.0)],
+        "repo string, path string, score double",
+    )
+    titles = spark.createDataFrame(
+        [("r1", "a/0", ["foo"]), ("r2", "a/0", ["x"])],  # b/0 has no title row
+        "repo string, path string, ttoks array<string>",
+    )
+    out = group_anchored(
+        results, titles, parse_query("foo").root, group_key=F.substring("path", 1, 1)
+    ).collect()
+    # no group reaches 4 members -> everything disbands; no fanout duplicates
+    assert sorted((r["key"], r["score_r"]) for r in out) == [
+        ("a/0", 1.0), ("a/0", 2.0), ("b/0", 3.0)
+    ]
+
+
 def test_title_match_ast_shapes(spark):
     df = _toks(spark, [("p", ["alpha", "beta", "gamma"])])
     cases = [
