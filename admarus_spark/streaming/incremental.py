@@ -269,24 +269,24 @@ class IncrementalIndexer:
             .groupBy("tb")
             .applyInPandas(bloom_of, "tb int, kind string, filter binary")
         )
-        old_summ = spark.read.parquet(paths.summaries).filter(
-            (F.col("kind") == "meta") | ~F.col("tb").isin(affected)
+        old_terms = spark.read.parquet(paths.summaries).filter(
+            (F.col("kind") == "terms") & ~F.col("tb").isin(affected)
         )
+        terms_all = old_terms.unionByName(fresh_summ).persist()
         # meta bloom: rebuild (lang/repo value sets may have grown) — same
         # distributed partial-bloom OR-fold as the full build (no driver-side
-        # distinct().collect() over repo)
-        from ..index.build import meta_bloom_bytes
+        # distinct().collect() over repo); global term-bloom rollup row
+        # recomputed from the updated per-bucket blooms (engine init reads
+        # only the meta+global rows)
+        from ..index.build import bloom_rollup_rows, meta_bloom_bytes
 
         ddn = spark.read.parquet(paths.doc_dict)
         meta_bytes, _ = meta_bloom_bytes(ddn)
-        meta_pdf = pd.DataFrame(
-            [{"tb": -1, "kind": "meta", "filter": meta_bytes}]
-        )
-        meta_df = spark.createDataFrame(meta_pdf, schema="tb int, kind string, filter binary")
-        summ = old_summ.filter(F.col("kind") != "meta").unionByName(fresh_summ).unionByName(meta_df)
+        summ = terms_all.unionByName(bloom_rollup_rows(spark, terms_all, meta_bytes))
         # write-then-swap (summaries dir is tiny)
         tmp = paths.summaries + "_next"
         summ.coalesce(1).write.mode("overwrite").parquet(tmp)
+        terms_all.unpersist()
         final = spark.read.parquet(tmp)
         final.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
 
