@@ -203,6 +203,55 @@ def bloom_rollup_rows(spark: SparkSession, terms_summ: DataFrame, meta_bytes: by
     return spark.createDataFrame(pdf, schema="tb int, kind string, filter binary")
 
 
+def assign_range_ids(docs: DataFrame, n_parts: int, base: int = 0):
+    """Deterministic dense doc ids ``base, base+1, ...`` in lexicographic
+    (repo, path) order with NO single-task bottleneck: range-shuffle the
+    slim (repo, path) manifest, count rows per partition, then add
+    per-partition offsets in one Arrow pass (a few bytes per row). Used by
+    stage 1 (base=0) and by incremental deltas above the broadcast
+    threshold (base=max_id+1) — the same plan shape that survives a
+    backfill-sized delta at 10^12-file scale.
+
+    Returns ``(manifest_ids, manifest, part_counts, offsets)``; ``manifest``
+    is persisted — the caller unpersists it once ``manifest_ids`` has been
+    consumed."""
+    spark = docs.sparkSession
+    manifest = (
+        docs.select("repo", "path")
+        .repartitionByRange(n_parts, "repo", "path")
+        .sortWithinPartitions("repo", "path")
+        .persist()
+    )
+    part_counts = {
+        r["pid"]: r["cnt"]
+        for r in manifest.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = base
+    for pid in sorted(part_counts):
+        offsets[pid] = acc
+        acc += part_counts[pid]
+    bc_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign_ids(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pbase = bc_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.assign(
+                doc_id=np.arange(pbase + seen, pbase + seen + len(pdf), dtype=np.int64)
+            )
+            seen += len(pdf)
+            yield pdf
+
+    manifest_ids = manifest.mapInPandas(assign_ids, "repo string, path string, doc_id long")
+    return manifest_ids, manifest, part_counts, offsets
+
+
 def _merge_term_chunks(
     term, chunk_rows: list[dict], block_size: int, avgdl: float
 ) -> dict:
@@ -365,37 +414,7 @@ class IndexBuilder:
         # gracefully to a sort-merge join on (repo, path).
         parallelism = spark.sparkContext.defaultParallelism
         n_parts = max(1, min(parallelism, max(1, n_total // 50)))
-        manifest = (
-            docs.select("repo", "path")
-            .repartitionByRange(n_parts, "repo", "path")
-            .sortWithinPartitions("repo", "path")
-            .persist()
-        )
-        part_counts = {
-            r["pid"]: r["cnt"]
-            for r in manifest.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        offsets = {}
-        acc = 0
-        for pid in sorted(part_counts):
-            offsets[pid] = acc
-            acc += part_counts[pid]
-        bc_offsets = spark.sparkContext.broadcast(offsets)
-
-        def assign_ids(iterator):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            base = bc_offsets.value.get(pid, 0)
-            seen = 0
-            for pdf in iterator:
-                pdf = pdf.assign(doc_id=np.arange(base + seen, base + seen + len(pdf), dtype=np.int64))
-                seen += len(pdf)
-                yield pdf
-
-        manifest_ids = manifest.mapInPandas(assign_ids, "repo string, path string, doc_id long")
+        manifest_ids, manifest, part_counts, offsets = assign_range_ids(docs, n_parts)
         # a locally-generated corpus often arrives as few parquet splits — the
         # tokenize stage would under-parallelize; widen to the session's
         # parallelism (no-op on real multi-split inputs)

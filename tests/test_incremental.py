@@ -82,6 +82,33 @@ def test_new_docs_are_searchable(spark, inc_setup):
     assert any(r["path"].startswith("extra/") for r in res)
 
 
+def test_partitioned_delta_ids_match_broadcast_path(spark, tmp_path):
+    """Forcing the distributed range-partition id path (threshold 0) must
+    yield EXACTLY the ids and results of the broadcast single-partition rank
+    (VERDICT r2 #3): lexicographic within the delta, appended after max_id."""
+    base = make_docs_corpus(150, seed=11)
+    extra = make_docs_corpus(80, seed=77)
+    extra["path"] = extra["path"].str.replace("src/", "big/", regex=False)
+
+    dicts = {}
+    for mode, thresh in (("bcast", 10**6), ("ranged", 0)):
+        d = str(tmp_path / f"idx_{mode}")
+        IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+            spark.createDataFrame(base), input_token=f"ids-{mode}"
+        )
+        inc = IncrementalIndexer(spark, d, broadcast_delta_max=thresh)
+        m = inc.update(spark.createDataFrame(extra), input_token=f"delta-{mode}")
+        assert m["rows_new"] == len(extra)
+        dd = spark.read.parquet(f"{d}/doc_dict")
+        dicts[mode] = sorted(
+            (r["repo"], r["path"], r["doc_id"]) for r in dd.collect()
+        )
+        eng = SearchEngine(spark, d)
+        dicts[mode + "_res"] = path_scores(eng.search("parser AND lexer", 10**6))
+    assert dicts["bcast"] == dicts["ranged"]
+    assert dicts["bcast_res"] == dicts["ranged_res"]
+
+
 def test_changed_content_reindexed(spark, tmp_path):
     """A delta row whose content_sha256 differs on an existing (repo, path)
     must be re-indexed (reference: changed content is a NEW document,
