@@ -52,6 +52,17 @@ def read_metrics(index_dir: str, stage: str) -> dict:
         return {}
 
 
+def patch_metrics(index_dir: str, stage: str, updates: dict) -> None:
+    """Update individual metric values in place (e.g. n_terms after a
+    compaction rewrote the postings) without touching the stage lineage."""
+    d = _stage_dir(index_dir, stage)
+    m = read_metrics(index_dir, stage)
+    m.update(updates)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "metrics.json"), "w") as f:
+        json.dump(m, f, indent=2, default=str)
+
+
 def invalidate(index_dir: str, stage: str) -> None:
     p = os.path.join(_stage_dir(index_dir, stage), "_SUCCESS")
     if os.path.exists(p):

@@ -34,6 +34,7 @@ The reference re-crawls periodically, dedups against its ``listed`` /
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -61,6 +62,10 @@ class IncrementalIndexer:
     # deltas above this row count take the distributed range-partition id
     # assignment instead of the broadcast single-partition rank
     broadcast_delta_max: int = 100_000
+    # when set, update() triggers compact() once tombstones exceed this
+    # fraction of the live corpus — bounds the WAND-disabled window and the
+    # df drift of a long-running incremental deployment
+    auto_compact_frac: float | None = None
 
     def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
         spark = self.spark
@@ -310,7 +315,7 @@ class IncrementalIndexer:
 
         if manifest_persist is not None:
             manifest_persist.unpersist()
-        return {
+        out = {
             "rows_in": n_delta,
             "rows_new": int(n_new),
             "rows_changed": int(n_changed),
@@ -318,6 +323,184 @@ class IncrementalIndexer:
             "n_docs": n_docs,
             "seconds": time.time() - t0,
         }
+        n_dead = len(dead_prev) + n_changed
+        if (
+            self.auto_compact_frac is not None
+            and n_docs
+            and n_dead / n_docs >= self.auto_compact_frac
+        ):
+            out["compaction"] = self.compact()
+        return out
+
+    # ------------------------------------------------------------------
+    def compact(self) -> dict:
+        """Tombstone compaction: drop dead generations from the index and
+        re-tighten every bound — WITHOUT re-reading or re-tokenizing any
+        document content (stage 1, ~70-75% of a full rebuild, is skipped).
+
+        The batch analog of the reference's continuous LMDB sweep write-back
+        (``/root/reference/daemon/src/index/inner_db.rs:53-112``), which
+        evicts dead entries as it pages the index. Steps, all over the
+        compact posting/dictionary representation:
+
+        - postings: decode each term's list, drop tombstoned ids, correct
+          ``df``, re-encode sorted with block-max bounds recomputed under the
+          LIVE avgdl (terms whose postings die entirely are dropped);
+        - doc_dict: drop dead rows;
+        - stats: ``bm_avgdl`` set to the live avgdl — the engine's
+          staleness check passes again, so block-max WAND re-enables;
+        - summaries: per-bucket blooms + meta + global rollup rebuilt;
+        - tombstones cleared; stage-2 metrics patched (n_terms/n_postings).
+
+        Scale shape: one pass over the postings table (mapInPandas, Arrow
+        batches, NumPy inner loop), dead ids broadcast (bounded by changes
+        since the last compaction), writes partition-aligned with the
+        existing ``tb`` layout — no shuffle anywhere."""
+        spark = self.spark
+        paths = IndexPaths(self.index_dir)
+        t0 = time.time()
+        tomb_path = os.path.join(self.index_dir, "tombstones")
+        if not os.path.exists(tomb_path):
+            return {"dead": 0, "noop": True, "seconds": time.time() - t0}
+        dead = np.array(
+            sorted(int(r["doc_id"]) for r in spark.read.parquet(tomb_path).collect()),
+            dtype=np.int64,
+        )
+        if dead.size == 0:
+            shutil.rmtree(tomb_path, ignore_errors=True)
+            return {"dead": 0, "noop": True, "seconds": time.time() - t0}
+
+        stats = spark.read.parquet(paths.stats).collect()[0]
+        dd = spark.read.parquet(paths.doc_dict)
+        dead_df = spark.createDataFrame([(int(i),) for i in dead], "doc_id long")
+        live = dd.join(F.broadcast(dead_df), "doc_id", "left_anti")
+        agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt")).collect()[0]
+        n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+        avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
+        block_size = self.block_size
+        bc_dead = spark.sparkContext.broadcast(dead)
+
+        from ..index.codec import decode_postings
+
+        def rewrite(batches):
+            dead_ids = bc_dead.value
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples():
+                    ids, tfs, dls = decode_postings(
+                        r.ids, r.tfs, r.dls, list(r.block_firsts), list(r.block_lens)
+                    )
+                    if ids.size and dead_ids.size:
+                        pos = np.searchsorted(dead_ids, ids)
+                        pos[pos == dead_ids.size] = dead_ids.size - 1
+                        keep = dead_ids[pos] != ids
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue  # the term's last doc died with the sweep
+                    o = np.argsort(ids, kind="stable")  # canonical sorted list
+                    ids, tfs, dls = ids[o], tfs[o], dls[o]
+                    enc = encode_postings(ids, tfs, dls, block_size)
+                    starts = np.cumsum(
+                        np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
+                    )
+                    bmax = block_max_saturation(tfs, dls, avgdl, starts)
+                    rows.append(
+                        {
+                            "term": r.term,
+                            "df": int(ids.size),
+                            "ids": enc["ids_blob"],
+                            "tfs": enc["tfs_blob"],
+                            "dls": enc["dls_blob"],
+                            "block_firsts": enc["block_firsts"],
+                            "block_lasts": enc["block_lasts"],
+                            "block_lens": enc["block_lens"],
+                            "ids_offs": enc["ids_offs"],
+                            "tfs_offs": enc["tfs_offs"],
+                            "dls_offs": enc["dls_offs"],
+                            "block_max": bmax.tolist(),
+                            "tb": int(r.tb),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        post = spark.read.parquet(paths.postings)
+        if "block_lasts" not in post.columns:
+            raise ValueError(
+                "legacy index without block_lasts metadata: run a full rebuild"
+            )
+        new_post = post.mapInPandas(rewrite, POSTINGS_SCHEMA + ", tb int")
+        # input splits are partition-pruned per tb, so the partitionBy write
+        # needs no shuffle; swap keeps readers consistent
+        post_next = paths.postings + "_next"
+        shutil.rmtree(post_next, ignore_errors=True)
+        (
+            new_post.sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(post_next)
+        )
+        dd_next = paths.doc_dict + "_next"
+        shutil.rmtree(dd_next, ignore_errors=True)
+        live.write.mode("overwrite").parquet(dd_next)
+        _swap_dir(paths.postings, post_next)
+        _swap_dir(paths.doc_dict, dd_next)
+
+        stats_pdf = pd.DataFrame(
+            [
+                {
+                    "n_docs": n_docs,
+                    "total_tokens": total_tokens,
+                    "avgdl": avgdl,
+                    "bm_avgdl": avgdl,  # bounds recomputed: WAND re-enables
+                    "n_invalid_sha": int(stats["n_invalid_sha"]),
+                }
+            ]
+        )
+        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+
+        # summaries: rebuild per-bucket blooms (terms may have vanished),
+        # meta bloom over the live dictionary, global rollup
+        from ..index.build import bloom_rollup_rows, meta_bloom_bytes
+
+        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (tb,) = key
+            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
+            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+
+        post_now = spark.read.parquet(paths.postings)
+        terms_summ = (
+            post_now.select("tb", "term")
+            .groupBy("tb")
+            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
+            .persist()
+        )
+        meta_bytes, _ = meta_bloom_bytes(spark.read.parquet(paths.doc_dict))
+        summ = terms_summ.unionByName(bloom_rollup_rows(spark, terms_summ, meta_bytes))
+        summ.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
+        terms_summ.unpersist()
+
+        shutil.rmtree(tomb_path, ignore_errors=True)
+        n_terms = post_now.count()
+        n_postings = int(post_now.agg(F.sum("df")).collect()[0][0] or 0)
+        from ..index import checkpoint as ckpt
+
+        ckpt.patch_metrics(
+            self.index_dir,
+            "stage2_postings",
+            {"n_terms": int(n_terms), "n_postings": n_postings},
+        )
+        metrics = {
+            "dead": int(dead.size),
+            "n_docs": n_docs,
+            "n_terms": int(n_terms),
+            "avgdl": avgdl,
+            "seconds": time.time() - t0,
+        }
+        ckpt.write_stage(
+            self.index_dir, "compaction", {"key": {"dead": int(dead.size)}}, metrics
+        )
+        return metrics
 
     def foreach_batch_handler(self):
         """Adapter for Structured Streaming: ``writeStream.foreachBatch(h)``."""
@@ -326,6 +509,15 @@ class IncrementalIndexer:
             self.update(batch_df, input_token=f"stream-batch-{batch_id}")
 
         return handle
+
+
+def _swap_dir(path: str, next_path: str) -> None:
+    """Atomic-enough local-dir swap: retire the old dir, promote the new."""
+    old = path + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(next_path, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:

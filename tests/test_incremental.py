@@ -82,6 +82,89 @@ def test_new_docs_are_searchable(spark, inc_setup):
     assert any(r["path"].startswith("extra/") for r in res)
 
 
+def test_compaction_restores_wand_df_and_results(spark, tmp_path):
+    """VERDICT r2 #2: after incremental upserts leave tombstones behind,
+    compact() must (a) clear tombstones and re-enable rank-safe WAND,
+    (b) correct per-term df (no dead docs counted), and (c) leave results
+    float64-identical to a from-scratch rebuild of the final corpus — all
+    WITHOUT re-tokenizing content."""
+    import hashlib
+
+    base = make_docs_corpus(200, seed=3)
+    d = str(tmp_path / "idx_compact")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="cp-base"
+    )
+    changed = base.iloc[10:40].copy()
+    changed["content"] = "compactmarker parser " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(changed), input_token="cp-delta")
+    assert m["rows_changed"] == 30
+    assert SearchEngine(spark, d).wand_safe is False
+
+    cm = inc.compact()
+    assert cm["dead"] == 30
+    import os
+
+    assert not os.path.exists(f"{d}/tombstones")
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is True
+
+    # the final corpus: base with rows 10:40 replaced
+    final = base.copy()
+    final.iloc[10:40] = changed
+    d2 = str(tmp_path / "idx_fresh")
+    IndexBuilder(spark, d2, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(final), input_token="cp-fresh"
+    )
+    fresh = SearchEngine(spark, d2)
+
+    # (b) df parity with the fresh build, term by term
+    df_c = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{d}/postings").select("term", "df").collect()
+    }
+    df_f = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{d2}/postings").select("term", "df").collect()
+    }
+    assert df_c == df_f
+
+    # (c) results identical on every shape, wand forced on (bounds are tight)
+    for q in QUERIES + ["compactmarker"]:
+        got = path_scores(eng.search(q, 10**6, wand="on"))
+        want = path_scores(fresh.search(q, 10**6, wand="on"))
+        assert got == want, q
+
+    # idempotent: compacting a clean index is a no-op
+    assert inc.compact().get("noop") is True
+
+
+def test_auto_compaction_triggers(spark, tmp_path):
+    """auto_compact_frac bounds the WAND-disabled window: an update pushing
+    the tombstone fraction past the threshold compacts inline."""
+    import hashlib
+
+    base = make_docs_corpus(100, seed=21)
+    d = str(tmp_path / "idx_auto")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="ac-base"
+    )
+    changed = base.iloc[:20].copy()
+    changed["content"] = "autocompact " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    inc = IncrementalIndexer(spark, d, auto_compact_frac=0.1)
+    m = inc.update(spark.createDataFrame(changed), input_token="ac-delta")
+    assert m["rows_changed"] == 20
+    assert m.get("compaction", {}).get("dead") == 20
+    assert SearchEngine(spark, d).wand_safe is True
+
+
 def test_partitioned_delta_ids_match_broadcast_path(spark, tmp_path):
     """Forcing the distributed range-partition id path (threshold 0) must
     yield EXACTLY the ids and results of the broadcast single-partition rank
