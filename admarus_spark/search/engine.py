@@ -265,6 +265,25 @@ class SearchEngine:
                     rare = min(req, key=lambda t: df_map[t])
                     if df_map[rare] <= self.and_prune_max_df:
                         cand_ids = self._collect_term_ids(rare)
+            elif not req and wand != "off" and not use_wand:
+                # n-of-m pigeonhole pruning (1 < n < m): a doc matching at
+                # least n of m' present children misses at most m'-n of
+                # them, so it MUST appear in the postings of at least one of
+                # ANY m'-n+1 chosen children. The m'-n+1 rarest children's
+                # id union is therefore an exact candidate superset — the
+                # same decode machinery as the conjunctive path applies
+                # (VERDICT r2 #9; AND is the n=m special case: 1 rarest
+                # list). Exact, not merely rank-safe: non-candidates cannot
+                # pass the >= n gate, and candidate rows survive in EVERY
+                # term's list, keeping their fold scores complete.
+                cover = _nofm_cover_words(query.root, df_map)
+                if cover is not None:
+                    if not cover:
+                        return self._empty_result()  # fewer than n present
+                    uniq_cover = list(dict.fromkeys(cover))
+                    if sum(df_map[t] for t in uniq_cover) <= self.and_prune_max_df:
+                        parts = [self._collect_term_ids(t) for t in uniq_cover]
+                        cand_ids = np.unique(np.concatenate(parts))
             if cand_ids is not None and cand_ids.size == 0:
                 # a required/cover word has an empty posting list (stale
                 # df_cache after an external update): no doc can match
@@ -592,6 +611,24 @@ class SearchEngine:
         return out.select("doc_id", "score", "repo", "path", "commit", "lang").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+
+
+def _nofm_cover_words(comp: QueryComp, df_map: dict[str, int]) -> list[str] | None:
+    """Pigeonhole candidate cover for a top-level ``NAmong{1<n<m}`` whose
+    children are all Words. Returns the ``m'-n+1`` present children with the
+    smallest df (m' = children whose word is indexed), ``[]`` when fewer
+    than n children are present (no doc can match), or None when the shape
+    does not apply (nested subtrees, filters, NOTs — those keep the
+    full-decode path)."""
+    if not (isinstance(comp, NAmong) and 1 < comp.n < len(comp.among)):
+        return None
+    if not all(isinstance(c, Word) for c in comp.among):
+        return None
+    present = [c.word for c in comp.among if c.word in df_map]
+    if len(present) < comp.n:
+        return []
+    k = len(present) - comp.n + 1
+    return sorted(present, key=lambda t: (df_map[t], t))[:k]
 
 
 def _collect_filter_names(comp: QueryComp) -> set[str]:

@@ -178,6 +178,69 @@ def test_conjunctive_pruning_exact(docs_engine, docs_oracle):
         docs_engine.and_prune_max_df = old
 
 
+def test_nofm_pigeonhole_pruning_exact(docs_engine, docs_oracle):
+    """n-of-m decode pruning (1 < n < m, pigeonhole cover of the m-n+1
+    rarest children) must be EXACT at any k, including with a hot child in
+    the cover complement, unindexed children shrinking m', and the
+    fewer-than-n-present early exit."""
+    queries = [
+        "2(parser, lexer, bloom)",
+        "2(license, parser, bloom)",          # hot child pruned by rare cover
+        "3(license, parser, lexer, bloom)",
+        "2(parser, lexer, nosuchterm)",       # m' shrinks to 2 -> cover of 1
+        "2(rareterm000063z, nosuchterma, nosuchtermb)",  # m' < n -> empty
+    ]
+    for k in (3, 10, 10**6):
+        run_parity(docs_engine, docs_oracle, queries, k=k)
+    # control: pruning off gives identical results
+    old = docs_engine.and_prune_max_df
+    try:
+        docs_engine.and_prune_max_df = 0
+        run_parity(docs_engine, docs_oracle, queries)
+    finally:
+        docs_engine.and_prune_max_df = old
+
+
+def test_nofm_cover_selection():
+    from admarus_spark.query.parser import parse_query
+    from admarus_spark.search.engine import _nofm_cover_words
+
+    df_map = {"aaa": 5, "bbb": 10, "ccc": 100}
+    # 2-of-3: cover = the 2 rarest children
+    assert _nofm_cover_words(parse_query("2(aaa, bbb, ccc)").root, df_map) == ["aaa", "bbb"]
+    # n == m is the conjunctive (required-words) path, not ours
+    assert _nofm_cover_words(parse_query("aaa AND bbb").root, df_map) is None
+    # quick-OR (n=1) is the WAND path
+    assert _nofm_cover_words(parse_query("aaa bbb ccc").root, df_map) is None
+    # unindexed children shrink m': 2-of-3 with one absent -> cover of 1
+    assert _nofm_cover_words(parse_query("2(aaa, bbb, zzz)").root, df_map) == ["aaa"]
+    # fewer present than n -> provably empty
+    assert _nofm_cover_words(parse_query("2(aaa, yyy, zzz)").root, df_map) == []
+    # nested / non-Word children -> not applicable
+    assert _nofm_cover_words(parse_query("2(aaa, bbb, NOT ccc)").root, df_map) is None
+
+
+def test_nofm_pruning_reduces_decode(docs_engine):
+    """A hot term's decode must shrink when candidates come from the rare
+    cover of a 2-of-3 query (the measured win recorded in BENCH/PLANS.md)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from admarus_spark.murmur import term_bucket
+
+    eng = docs_engine
+    cover = np.unique(
+        np.concatenate(
+            [eng._collect_term_ids("parser"), eng._collect_term_ids("bloom")]
+        )
+    )
+    tb = term_bucket("license", eng.n_buckets)
+    pruned = eng.postings.filter((F.col("tb") == tb) & (F.col("term") == "license"))
+    full = eng._decode(pruned, None).count()
+    cut = eng._decode(pruned, None, cover).count()
+    assert cut < full
+
+
 def test_conjunctive_pruning_reduces_decode(docs_engine):
     """The pruned decode must emit strictly fewer rows for a hot term when
     candidates come from a rare conjunct."""
