@@ -271,6 +271,124 @@ def _bm25_grouped_anchored(query_text: str, gk: int = 25):
     return run
 
 
+def _nested_path_col(c: "F.Column"):
+    """Deterministic NESTED path namespace for the grouping-walk entry: the
+    flat testdata paths carry no directory structure, so the walk entry
+    synthesizes one from doc_id — mixed depth (ids with doc_id%10 < 3 sit
+    one level up) so anchors occur at multiple levels and the disband
+    cascade crosses levels. The DuckDB oracle uses the identical expression
+    (_NPATH_DUCK)."""
+    return F.concat(
+        F.lit("g"), (c % 5).cast("string"),
+        F.lit("/m"), F.floor(c / 50).cast("long").cast("string"),
+        F.when(c % 10 < 3, F.lit("")).otherwise(
+            F.concat(F.lit("/s"), F.floor(c / 10).cast("long").cast("string"))
+        ),
+        F.lit("/f"), c.cast("string"),
+    )
+
+
+_NPATH_DUCK = (
+    "'g' || (doc_id % 5) || '/m' || (doc_id // 50) || "
+    "(CASE WHEN doc_id % 10 < 3 THEN '' ELSE '/s' || (doc_id // 10) END) "
+    "|| '/f' || doc_id"
+)
+
+
+def _bm25_grouped_walk(query_text: str, gk: int = 30):
+    """G2 longest-matching-ancestor grouping over a nested path namespace
+    (ranked.rs:107-162 — the full prefix walk incl. the disband cascade; the
+    fixed-width-prefix variant stays available as bm25_grouped_anchored)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from admarus_spark.query.parser import parse_query
+        from admarus_spark.search.grouping import TITLE_TOKENS, group_walk
+
+        eng = _engine(spark, sf_dir)
+        res = eng.search(query_text, None)
+        did = F.expr("CAST(substring(path, 5, 10) AS BIGINT)")
+        res = res.select(_nested_path_col(did).alias("path"), "score")
+        tok = make_tokenize_udf()
+        titles = _documents(spark, sf_dir).select(
+            _nested_path_col(F.col("doc_id")).alias("path"),
+            F.slice(tok(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
+        )
+        return group_walk(res, titles, parse_query(query_text).root, limit=gk)
+
+    return run
+
+
+def _bm25_grouped_walk_oracle(terms: list[str], gate: str, score: str, gk: int = 30) -> str:
+    """DuckDB twin of group_walk: anchors -> parent per dir (best score),
+    members attach to the longest anchored ancestor (correlated LIKE walk),
+    groups with < 4 children disband and re-walk to the longest KEPT
+    ancestor, group score = best member, members = parent+attached+rewalked."""
+    tmatch = " AND ".join(f"list_contains(dt.tt, '{t}')" for t in terms)
+    return f"""
+{_bm25_res_ctes(terms, gate, score)},
+t AS (
+  SELECT r.doc_id, r.score, {_NPATH_DUCK.replace("doc_id", "r.doc_id")} AS path, ({tmatch}) AS tm
+  FROM res r
+  JOIN (SELECT doc_id, ({_TOK_EXPR})[1:8] AS tt FROM documents) dt
+    ON dt.doc_id = r.doc_id
+),
+base AS (
+  SELECT doc_id, score, path, tm, regexp_replace(path, '/[^/]*$', '') AS dir
+  FROM t
+),
+anch AS (
+  SELECT *, row_number() OVER (PARTITION BY dir ORDER BY score DESC, path ASC) AS rk
+  FROM base WHERE tm
+),
+parents AS (SELECT dir AS gkey, path AS ppath, score AS pscore FROM anch WHERE rk = 1),
+walkers AS (
+  SELECT path, score FROM base WHERE NOT tm
+  UNION ALL SELECT path, score FROM anch WHERE rk > 1
+),
+att AS (
+  SELECT w.path, w.score,
+         (SELECT p.gkey FROM parents p WHERE w.path LIKE p.gkey || '/%'
+          ORDER BY length(p.gkey) DESC LIMIT 1) AS gkey
+  FROM walkers w
+),
+attached AS (SELECT * FROM att WHERE gkey IS NOT NULL),
+unatt AS (SELECT path, score FROM att WHERE gkey IS NULL),
+g AS (SELECT gkey, count(*) AS children, max(score) AS mbest FROM attached GROUP BY gkey),
+pg AS (
+  SELECT p.gkey, p.ppath, p.pscore, coalesce(g.children, 0) AS children, g.mbest
+  FROM parents p LEFT JOIN g ON g.gkey = p.gkey
+),
+keptk AS (SELECT * FROM pg WHERE children >= 4),
+disb AS (SELECT * FROM pg WHERE children < 4),
+rewalk AS (
+  SELECT a.path, a.score FROM attached a JOIN disb d ON a.gkey = d.gkey
+  UNION ALL SELECT d.ppath, d.pscore FROM disb d
+),
+ratt AS (
+  SELECT i.path, i.score,
+         (SELECT k.gkey FROM keptk k WHERE i.path LIKE k.gkey || '/%'
+          ORDER BY length(k.gkey) DESC LIMIT 1) AS gkey
+  FROM rewalk i
+),
+rg AS (SELECT gkey, count(*) AS rn, max(score) AS rbest FROM ratt WHERE gkey IS NOT NULL GROUP BY gkey),
+kept_final AS (
+  SELECT k.gkey AS key,
+         round(greatest(k.pscore, coalesce(k.mbest, k.pscore), coalesce(rg.rbest, k.pscore)), 9) AS score_r,
+         (1 + k.children + coalesce(rg.rn, 0))::BIGINT AS members
+  FROM keptk k LEFT JOIN rg ON rg.gkey = k.gkey
+),
+indiv AS (
+  SELECT path AS key, round(score, 9) AS score_r, 1::BIGINT AS members FROM unatt
+  UNION ALL
+  SELECT path AS key, round(score, 9) AS score_r, 1::BIGINT AS members
+  FROM ratt WHERE gkey IS NULL
+)
+SELECT key, score_r, members FROM (SELECT * FROM kept_final UNION ALL SELECT * FROM indiv)
+ORDER BY score_r DESC, key ASC
+LIMIT {gk}
+"""
+
+
 def _bm25_grouped_anchored_oracle(
     terms: list[str], gate: str, score: str, gk: int = 25
 ) -> str:
@@ -331,6 +449,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
     "bm25_grouped": _bm25_grouped("batch"),
     "bm25_grouped_anchored": _bm25_grouped_anchored("spark AND stream"),
+    "bm25_grouped_walk": _bm25_grouped_walk("batch"),
 }
 
 _TOK_EXPR = (
@@ -391,6 +510,9 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_grouped": _bm25_grouped_oracle(["batch"], gate="s_0 > 0", score="s_0"),
     "bm25_grouped_anchored": _bm25_grouped_anchored_oracle(
         ["spark", "stream"], gate="s_0 > 0 AND s_1 > 0", score="(s_0 + s_1) / 2"
+    ),
+    "bm25_grouped_walk": _bm25_grouped_walk_oracle(
+        ["batch"], gate="s_0 > 0", score="s_0"
     ),
 }
 

@@ -22,7 +22,7 @@ group keys are orders of magnitude fewer than docs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..query.ast import Filter, NAmong, Not, QueryComp, Word
@@ -100,4 +100,145 @@ def group_anchored(
         F.lit(1).cast("long").alias("members"),
     )
     out = kept.unionByName(disbanded).orderBy(F.desc("score_r"), F.asc("key"))
+    return out.limit(limit) if limit is not None else out
+
+
+def _proper_ancestors(path_col: str) -> Column:
+    """array of the proper ancestor directories of a '/'-separated path,
+    shortest first: 'a/b/c/f' -> ['a', 'a/b', 'a/b/c']."""
+    return F.expr(
+        f"CASE WHEN size(split({path_col}, '/')) > 1 THEN "
+        f"transform(sequence(1, size(split({path_col}, '/')) - 1), "
+        f"i -> array_join(slice(split({path_col}, '/'), 1, i), '/')) "
+        f"ELSE array() END"
+    )
+
+
+def _attach_longest(items: DataFrame, keys: DataFrame) -> DataFrame:
+    """For each (path, score) item, the LONGEST key in ``keys(gkey)`` that is
+    a proper ancestor directory of path (null when none): the reference's
+    upward prefix walk (ranked.rs:126-137), re-expressed as ancestor-explode
+    + equi-join + max-by-depth — a hash join on the prefix, not a
+    nested-loop LIKE join, so it scales with |items| + |matches|."""
+    anc = items.select(
+        "path", "score", F.posexplode_outer(_proper_ancestors("path")).alias("lvl", "anc")
+    )
+    hit = anc.join(keys.select(F.col("gkey").alias("anc")), "anc", "left_semi")
+    longest = hit.groupBy("path").agg(F.max_by("anc", "lvl").alias("gkey"))
+    return items.join(longest, "path", "left")
+
+
+def group_walk(
+    results: DataFrame,
+    titles: DataFrame,
+    query_root: QueryComp,
+    limit: int | None = None,
+    min_children: int = MIN_GROUP_CHILDREN,
+) -> DataFrame:
+    """G2 longest-matching-ancestor grouping, the full reference walk
+    (``/root/reference/webui/src/result/ranked.rs:107-162``) made
+    deterministic and one-pass:
+
+    - anchors (G1: title satisfies the AST) define group keys — the
+      anchor's parent directory (the reference requires the anchor to be
+      the directory's ``index.html``; our corpus analog is any
+      title-matching result, with the best-scoring one as the group's
+      parent — the reference's HashMap insert on duplicate anchors is
+      order-nondeterministic, ours keeps surplus anchors as ordinary
+      members instead of dropping them);
+    - every non-anchor result walks UP its ancestor directories and joins
+      the LONGEST one that is a group key (ranked.rs:126-137);
+    - groups with fewer than ``min_children`` attached members disband
+      (G3, ranked.rs:141-162): the parent and members re-walk to the
+      longest KEPT ancestor group, else become individual results (the
+      reference's cascade resolved in one deterministic pass);
+    - group score = best member incl. parent (G4, grouped.rs:28-31).
+
+    Returns (key, score_r, members) ordered by (score_r desc, key asc);
+    ``members`` counts parent + attached + re-attached.
+    """
+    tm = compile_title_match(query_root, F.col("ttoks"))
+    join_keys = (
+        ["repo", "path"]
+        if "repo" in results.columns and "repo" in titles.columns
+        else ["path"]
+    )
+    parts = F.split(F.col("path"), "/")
+    per = (
+        results.join(titles, join_keys, "left")
+        .withColumn("tm", F.coalesce(tm, F.lit(False)))
+        .withColumn("dir", F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/"))
+        .select("path", "score", "tm", "dir")
+        .persist()
+    )
+    anchors = per.filter(F.col("tm")).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("dir").orderBy(F.desc("score"), F.asc("path"))),
+    )
+    parents = anchors.filter(F.col("rk") == 1).select(
+        F.col("dir").alias("gkey"),
+        F.col("path").alias("ppath"),
+        F.col("score").alias("pscore"),
+    )
+    walkers = (
+        per.filter(~F.col("tm"))
+        .select("path", "score")
+        .unionByName(anchors.filter(F.col("rk") > 1).select("path", "score"))
+    )
+    att = _attach_longest(walkers, parents).persist()
+    attached = att.filter(F.col("gkey").isNotNull())
+    unattached = att.filter(F.col("gkey").isNull()).select("path", "score")
+
+    g = attached.groupBy("gkey").agg(
+        F.count("*").alias("children"), F.max("score").alias("mbest")
+    )
+    pg = parents.join(g, "gkey", "left").withColumn(
+        "children", F.coalesce(F.col("children"), F.lit(0))
+    )
+    kept = pg.filter(F.col("children") >= min_children)
+    disb = pg.filter(F.col("children") < min_children)
+
+    # disband cascade: members + parent of each disbanded group re-walk to
+    # the longest KEPT ancestor group (walking from the member path equals
+    # walking from the group key: no group key deeper than the original
+    # attachment can be the member's ancestor)
+    rewalk = (
+        attached.join(disb.select("gkey"), "gkey", "left_semi")
+        .select("path", "score")
+        .unionByName(
+            disb.select(F.col("ppath").alias("path"), F.col("pscore").alias("score"))
+        )
+    )
+    ratt = _attach_longest(rewalk, kept.select("gkey")).persist()
+    r_on = ratt.filter(F.col("gkey").isNotNull())
+    r_off = ratt.filter(F.col("gkey").isNull()).select("path", "score")
+    rg = r_on.groupBy("gkey").agg(
+        F.count("*").alias("rn"), F.max("score").alias("rbest")
+    )
+    kept_final = (
+        kept.join(rg, "gkey", "left")
+        .select(
+            F.col("gkey").alias("key"),
+            F.round(
+                F.greatest(
+                    F.col("pscore"),
+                    F.coalesce(F.col("mbest"), F.col("pscore")),
+                    F.coalesce(F.col("rbest"), F.col("pscore")),
+                ),
+                9,
+            ).alias("score_r"),
+            (F.lit(1) + F.col("children") + F.coalesce(F.col("rn"), F.lit(0)))
+            .cast("long")
+            .alias("members"),
+        )
+    )
+    indiv = (
+        unattached.unionByName(r_off)
+        .select(
+            F.col("path").alias("key"),
+            F.round("score", 9).alias("score_r"),
+            F.lit(1).cast("long").alias("members"),
+        )
+    )
+    out = kept_final.unionByName(indiv).orderBy(F.desc("score_r"), F.asc("key"))
     return out.limit(limit) if limit is not None else out

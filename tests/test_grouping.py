@@ -5,7 +5,11 @@ else emitted as individual results."""
 from pyspark.sql import functions as F
 
 from admarus_spark.query.parser import parse_query
-from admarus_spark.search.grouping import compile_title_match, group_anchored
+from admarus_spark.search.grouping import (
+    compile_title_match,
+    group_anchored,
+    group_walk,
+)
 
 
 def _toks(spark, rows):
@@ -35,6 +39,45 @@ def test_group_anchored_keeps_and_disbands(spark):
     assert {k for k in by_key if k.startswith("b/")} == {f"b/{i}" for i in range(4)}
     assert {k for k in by_key if k.startswith("c/")} == {f"c/{i}" for i in range(3)}
     assert all(by_key[f"b/{i}"]["members"] == 1 for i in range(4))
+
+
+def test_group_walk_longest_ancestor_and_disband_cascade(spark):
+    """G2 walk (ranked.rs:107-162): members attach to the LONGEST anchored
+    ancestor directory; small groups disband and their parent+members
+    re-attach to the longest KEPT ancestor; surplus anchors in one directory
+    become ordinary members; unattachable results stay individual."""
+    rows = [
+        ("a/b/idx", 5.0),    # anchor of a/b (outranked -> surplus member)
+        ("a/b/idx2", 6.0),   # anchor of a/b (parent: higher score)
+        ("a/b/m1", 1.0), ("a/b/m2", 2.0), ("a/b/m3", 3.0), ("a/b/m4", 4.0),
+        ("a/b/c/idx", 2.5),  # anchor of a/b/c (1 child -> disbands)
+        ("a/b/c/m5", 0.5),   # attaches to a/b/c (longest), not a/b
+        ("z/q/f", 1.5),      # no anchored ancestor -> individual
+    ]
+    results = spark.createDataFrame(rows, "path string, score double")
+    anchored = {"a/b/idx", "a/b/idx2", "a/b/c/idx"}
+    titles = spark.createDataFrame(
+        [(p, ["foo"] if p in anchored else ["x"]) for p, _ in rows],
+        "path string, ttoks array<string>",
+    )
+    out = group_walk(results, titles, parse_query("foo").root).collect()
+    got = {r["key"]: (r["score_r"], r["members"]) for r in out}
+    # a/b keeps: 5 attached (m1-4 + surplus idx), then a/b/c's parent+member
+    # re-attach on the disband walk -> 1 + 5 + 2 = 8 members, best score 6.0
+    assert got == {"a/b": (6.0, 8), "z/q/f": (1.5, 1)}
+
+
+def test_group_walk_no_kept_groups_all_individual(spark):
+    results = spark.createDataFrame(
+        [("a/b/idx", 2.0), ("a/b/m1", 1.0)], "path string, score double"
+    )
+    titles = spark.createDataFrame(
+        [("a/b/idx", ["foo"]), ("a/b/m1", ["x"])], "path string, ttoks array<string>"
+    )
+    out = group_walk(results, titles, parse_query("foo").root).collect()
+    assert sorted((r["key"], r["score_r"], r["members"]) for r in out) == [
+        ("a/b/idx", 2.0, 1), ("a/b/m1", 1.0, 1)
+    ]
 
 
 def test_group_anchored_missing_title_and_repo_dup(spark):
