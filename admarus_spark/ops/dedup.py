@@ -31,6 +31,20 @@ JACCARD_THRESHOLD = 0.5
 # Jaccard op on BOTH engines (bounds the self-join at O(cap^2) per shingle)
 MAX_SHINGLE_DF = 100
 
+def _hash_col(col, method: str = "md5"):
+    """The dedup signature/join hash. md5 (default) is the PORTABLE choice —
+    identical hex in Spark and DuckDB, which the oracle-parity gate needs.
+    At 100 TB pass ``hash_method='xxhash64'``: the JVM-native 64-bit hash
+    skips the 32-hex-char string materialization per row — IDENTICAL plan
+    shape and grouping structure, proven by
+    tests/test_ops.py::test_dedup_hash_swap_xxhash64."""
+    if method == "md5":
+        return F.md5(col)
+    if method == "xxhash64":
+        return F.xxhash64(col).cast("string")
+    raise ValueError(f"unknown hash method {method!r}")
+
+
 _TOK_EXPR_DUCK = (
     "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)"
 )
@@ -56,11 +70,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-def exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_groups(spark: SparkSession, sf_dir: str, hash_method: str = "md5") -> DataFrame:
     """Exact dedup: group by content hash; keep_id = min doc_id per group."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        d.groupBy(F.md5("text").alias("content_md5"))  # scale: xxhash64("text")
+        d.groupBy(_hash_col(F.col("text"), hash_method).alias("content_md5"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
     )
 
@@ -72,7 +86,7 @@ FROM documents GROUP BY md5(text)
 
 
 # ----------------------------------------------------------------------
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands(spark: SparkSession, sf_dir: str, hash_method: str = "md5") -> DataFrame:
     """LSH band buckets: (doc_id, band, bucket).
 
     Single-pass signatures: ONE groupBy over the shingle stream computes all
@@ -82,7 +96,9 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-element explode over the already-aggregated per-doc signature row."""
     sh = _shingles(spark, sf_dir)
     sig_aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(p)), F.col("shingle")))).alias(f"sig_{p}")
+        F.min(
+            _hash_col(F.concat_ws(":", F.lit(str(p)), F.col("shingle")), hash_method)
+        ).alias(f"sig_{p}")
         for p in range(NUM_PERM)
     ]
     sigs = sh.groupBy("doc_id").agg(*sig_aggs)
@@ -91,11 +107,12 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).cast("int").alias("band"),
-                F.md5(
+                _hash_col(
                     F.concat_ws(
                         ",",
                         *[F.col(f"sig_{p}") for p in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)],
-                    )
+                    ),
+                    hash_method,
                 ).alias("bucket"),
             )
             for b in range(n_bands)
@@ -119,9 +136,9 @@ FROM sigs GROUP BY doc_id, p // {BAND_ROWS}
 """
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(spark: SparkSession, sf_dir: str, hash_method: str = "md5") -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket."""
-    b = minhash_bands(spark, sf_dir)
+    b = minhash_bands(spark, sf_dir, hash_method)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, ["band", "bucket"])

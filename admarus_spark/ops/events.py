@@ -58,6 +58,69 @@ FROM events e GROUP BY e.event_type
 """
 
 
+def windows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/T3 current-vs-PREVIOUS window comparison
+    (``/root/reference/census/src/stats.rs:42-54``: every record lands in
+    the current 1h/24h window or the one preceding it, and both are
+    reported). Batch analog: 'now' anchors deterministically at max(ts);
+    current = (now-1d, now], previous = (now-2d, now-1d]. Per event_type:
+    event counts, distinct users (the peers analog) and value sums for both
+    windows, plus the count delta.
+
+    Scale shape: one scalar-collect for the anchor, then a two-level
+    aggregation — per (event_type, user_id) conditional partials first, so
+    the distinct-user counts need NO Expand-based count(DISTINCT) pass —
+    everything is map-side-combinable groupBys."""
+    from datetime import timedelta
+
+    e = _events(spark, sf_dir)
+    now = e.agg(F.max("ts")).collect()[0][0]
+    c1 = F.lit(now - timedelta(days=1)).cast("timestamp_ntz")
+    c2 = F.lit(now - timedelta(days=2)).cast("timestamp_ntz")
+    cur = F.col("ts") > c1
+    prev = (F.col("ts") <= c1) & (F.col("ts") > c2)
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(cur, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(prev, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(cur, F.col("value")).otherwise(0.0)).alias("vc"),
+        F.sum(F.when(prev, F.col("value")).otherwise(0.0)).alias("vp"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("nc").cast("long").alias("n_cur"),
+        F.sum("np").cast("long").alias("n_prev"),
+        (F.sum("nc") - F.sum("np")).cast("long").alias("delta_n"),
+        F.sum(F.when(F.col("nc") > 0, 1).otherwise(0)).cast("long").alias("users_cur"),
+        F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).cast("long").alias("users_prev"),
+        F.round(F.sum("vc"), 6).alias("sum_value_cur_r"),
+        F.round(F.sum("vp"), 6).alias("sum_value_prev_r"),
+    )
+
+
+WINDOWS_DELTA_SQL = """
+WITH nw AS (SELECT max(date_part('epoch', ts)) AS s FROM events),
+ev AS (SELECT event_type, user_id, value, date_part('epoch', ts) AS sec FROM events),
+u AS (
+  SELECT event_type, user_id,
+         sum(CASE WHEN sec > (SELECT s FROM nw) - 86400 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN sec <= (SELECT s FROM nw) - 86400
+                   AND sec > (SELECT s FROM nw) - 172800 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN sec > (SELECT s FROM nw) - 86400 THEN value ELSE 0 END) AS vc,
+         sum(CASE WHEN sec <= (SELECT s FROM nw) - 86400
+                   AND sec > (SELECT s FROM nw) - 172800 THEN value ELSE 0 END) AS vp
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type,
+       sum(nc)::BIGINT AS n_cur,
+       sum(np)::BIGINT AS n_prev,
+       (sum(nc) - sum(np))::BIGINT AS delta_n,
+       sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END)::BIGINT AS users_cur,
+       sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT AS users_prev,
+       round(sum(vc), 6) AS sum_value_cur_r,
+       round(sum(vp), 6) AS sum_value_prev_r
+FROM u GROUP BY event_type
+"""
+
+
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational scan+agg baseline (TPC-H Q1 shape over the testdata)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -121,6 +184,7 @@ LIMIT 10
 QUERIES = {
     "events_hourly": hourly,
     "events_census_stats": census_stats,
+    "events_windows_delta": windows_delta,
     "tpch_q1": tpch_q1,
     "tpch_q3ish": tpch_q3ish,
 }
@@ -128,6 +192,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": HOURLY_SQL,
     "events_census_stats": CENSUS_SQL,
+    "events_windows_delta": WINDOWS_DELTA_SQL,
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q3ish": TPCH_Q3_SQL,
 }

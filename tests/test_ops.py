@@ -58,3 +58,55 @@ def test_neardup_bucketed_subset_of_exact(spark):
     }
     assert bucketed <= exact
     assert bucketed  # the LSH blocking must still find same-bucket near-dups
+
+
+def test_dedup_hash_swap_xxhash64(spark, tmp_path):
+    """The md5-for-oracle-parity claim: swapping the dedup hash to the
+    JVM-native xxhash64 must preserve (a) the exact grouping STRUCTURE of
+    exact dedup, (b) the single-pass no-cartesian plan shape of MinHash,
+    and (c) recall of true duplicate pairs through LSH banding."""
+    import pandas as pd
+
+    from admarus_spark.ops import dedup
+
+    uniq = [
+        f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i} golf{i} hotel{i}"
+        for i in range(10)
+    ]
+    texts = [uniq[i % 10] for i in range(40)]  # 10 contents x 4 copies
+    pdf = pd.DataFrame({"doc_id": range(40), "text": texts})
+    d = str(tmp_path / "dupcorp")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    # (a) identical grouping structure: same (keep_id, cnt) partition
+    g_md5 = sorted(
+        (r["keep_id"], r["cnt"]) for r in dedup.exact_groups(spark, d).collect()
+    )
+    g_xx = sorted(
+        (r["keep_id"], r["cnt"])
+        for r in dedup.exact_groups(spark, d, hash_method="xxhash64").collect()
+    )
+    assert g_md5 == g_xx == [(i, 4) for i in range(10)]
+
+    # (b) plan shape: xxhash64 lands in the plan, still ONE aggregation pass
+    # over the shingle stream, no cartesian/cross join anywhere
+    bands = dedup.minhash_bands(spark, d, hash_method="xxhash64")
+    plan = bands._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    # (c) every identical-content pair is recalled by LSH banding under
+    # BOTH hashes (identical text -> identical signature -> same buckets)
+    want = {
+        (a, b)
+        for i in range(10)
+        for a in range(i, 40, 10)
+        for b in range(i, 40, 10)
+        if a < b
+    }
+    for method in ("md5", "xxhash64"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_pairs(spark, d, hash_method=method).collect()
+        }
+        assert want <= got, method
