@@ -26,6 +26,7 @@ __all__ = [
     "encode_varint",
     "decode_varint",
     "encode_postings",
+    "encode_postings_many",
     "decode_postings",
     "block_max_saturation",
     "merge_encoded_chunks",
@@ -136,6 +137,104 @@ def encode_postings(
         "tfs_offs": _offs(tfs_lens),
         "dls_offs": _offs(dls_lens),
     }
+
+
+def encode_postings_many(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    avgdl: float | None = None,
+) -> dict:
+    """Encode MANY terms' posting lists in three whole-partition varint
+    passes instead of one ``encode_postings`` call per term.
+
+    Input arrays are term-major: rows sorted by (term, doc_id);
+    ``term_starts`` marks each term run's first row. With a realistic
+    source-code vocabulary a partition holds 10^4-10^5 term runs, and the
+    per-call overhead of per-term encoding (~130 us/term measured) dominates
+    the whole build stage — this path replaces it with vectorized block
+    bookkeeping + ONE varint encode per stream + cheap per-term blob
+    slicing. Output rows are byte-identical to per-term
+    ``encode_postings`` (verified by test_codec.py).
+
+    When ``avgdl`` is given, the output also carries ``block_max``
+    (per-block max BM25 saturation) computed in one global reduceat.
+
+    Returns a dict of COLUMNS (length k = number of terms): ``df`` int64
+    array; ``ids``/``tfs``/``dls`` lists of bytes; the block metadata
+    fields as lists of ndarray views (np.split — no per-term Python
+    conversion; Arrow consumes ndarray list-values directly)."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n = ids.size
+    term_starts = np.asarray(term_starts, dtype=np.int64)
+    k = term_starts.size
+    if n == 0 or k == 0:
+        return {"df": np.empty(0, np.int64)}
+    term_ends = np.concatenate((term_starts[1:], [n]))
+    term_lens = term_ends - term_starts
+    bs = int(block_size)
+    nb = (term_lens + bs - 1) // bs  # blocks per term
+    first_block = np.concatenate(([0], np.cumsum(nb[:-1])))
+    total_blocks = int(nb.sum())
+    blk_term = np.repeat(np.arange(k, dtype=np.int64), nb)
+    local_idx = np.arange(total_blocks, dtype=np.int64) - first_block[blk_term]
+    block_starts = term_starts[blk_term] + local_idx * bs
+    block_lens = np.minimum(term_lens[blk_term] - local_idx * bs, bs)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[block_starts] = 0  # block-local deltas; first id stored absolute
+    ids_blob, ids_lens = _encode_varint_lens(gaps.astype(np.uint64))
+    tfs_blob, tfs_lens = _encode_varint_lens(np.ascontiguousarray(tfs, dtype=np.uint64))
+    dls_blob, dls_lens = _encode_varint_lens(np.ascontiguousarray(dls, dtype=np.uint64))
+
+    block_firsts = ids[block_starts]
+    block_lasts = ids[block_starts + block_lens - 1]
+
+    def _cums(lens: np.ndarray) -> np.ndarray:
+        c = np.empty(n + 1, dtype=np.int64)
+        c[0] = 0
+        np.cumsum(lens, out=c[1:])
+        return c
+
+    ids_c, tfs_c, dls_c = _cums(ids_lens), _cums(tfs_lens), _cums(dls_lens)
+    # per-block byte offsets RELATIVE to each term's blob start
+    term_of_block_base_i = np.repeat(ids_c[term_starts], nb)
+    term_of_block_base_t = np.repeat(tfs_c[term_starts], nb)
+    term_of_block_base_d = np.repeat(dls_c[term_starts], nb)
+    ids_offs = ids_c[block_starts] - term_of_block_base_i
+    tfs_offs = tfs_c[block_starts] - term_of_block_base_t
+    dls_offs = dls_c[block_starts] - term_of_block_base_d
+
+    bsplit = first_block[1:]  # split points in block-index space
+
+    def _blob_slices(blob: bytes, cum: np.ndarray) -> list[bytes]:
+        mv = memoryview(blob)
+        lo = cum[term_starts]
+        hi = cum[term_ends]
+        return [bytes(mv[a:b]) for a, b in zip(lo.tolist(), hi.tolist())]
+
+    out = {
+        "df": term_lens,
+        "ids": _blob_slices(ids_blob, ids_c),
+        "tfs": _blob_slices(tfs_blob, tfs_c),
+        "dls": _blob_slices(dls_blob, dls_c),
+        "block_firsts": np.split(block_firsts, bsplit),
+        "block_lasts": np.split(block_lasts, bsplit),
+        "block_lens": np.split(block_lens.astype(np.int32), bsplit),
+        "ids_offs": np.split(ids_offs, bsplit),
+        "tfs_offs": np.split(tfs_offs, bsplit),
+        "dls_offs": np.split(dls_offs, bsplit),
+    }
+    if avgdl is not None:
+        bmax = block_max_saturation(
+            np.asarray(tfs), np.asarray(dls), float(avgdl), block_starts
+        )
+        out["block_max"] = np.split(bmax, bsplit)
+    return out
 
 
 def _gather_blocks(blob: bytes, offs: np.ndarray, keep: np.ndarray) -> bytes:

@@ -83,3 +83,51 @@ def test_empty():
         enc["ids_blob"], enc["tfs_blob"], enc["dls_blob"], enc["block_firsts"], enc["block_lens"]
     )
     assert i.size == t.size == d.size == 0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2**40),        # id gap seeds
+                st.integers(1, 1000),         # tf
+                st.integers(1, 10**6),        # dl
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_many_matches_per_term(terms_data):
+    """encode_postings_many must be BYTE-identical, field by field, to one
+    encode_postings call per term (the hot-path batched codec vs the
+    reference per-term codec)."""
+    from admarus_spark.index.codec import encode_postings_many
+
+    ids_l, tfs_l, dls_l, starts = [], [], [], []
+    pos = 0
+    for rows in terms_data:
+        gaps = np.array([r[0] % 97 + 1 for r in rows], dtype=np.int64)
+        ids_l.append(np.cumsum(gaps))
+        tfs_l.append(np.array([r[1] for r in rows], dtype=np.int64))
+        dls_l.append(np.array([r[2] for r in rows], dtype=np.int64))
+        starts.append(pos)
+        pos += len(rows)
+    ids = np.concatenate(ids_l); tfs = np.concatenate(tfs_l); dls = np.concatenate(dls_l)
+    cols = encode_postings_many(ids, tfs, dls, np.array(starts), block_size=64, avgdl=437.0)
+    for t, s in enumerate(starts):
+        e = s + len(terms_data[t])
+        one = encode_postings(ids[s:e], tfs[s:e], dls[s:e], block_size=64)
+        assert cols["ids"][t] == one["ids_blob"]
+        assert cols["tfs"][t] == one["tfs_blob"]
+        assert cols["dls"][t] == one["dls_blob"]
+        assert list(cols["block_firsts"][t]) == one["block_firsts"]
+        assert list(cols["block_lasts"][t]) == one["block_lasts"]
+        assert list(cols["block_lens"][t]) == one["block_lens"]
+        assert list(cols["ids_offs"][t]) == one["ids_offs"]
+        assert list(cols["tfs_offs"][t]) == one["tfs_offs"]
+        assert list(cols["dls_offs"][t]) == one["dls_offs"]
+        assert int(cols["df"][t]) == len(terms_data[t])
