@@ -85,17 +85,38 @@ def make_docs_corpus(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def make_bench_corpus(n_docs: int = 30000, seed: int = 13) -> pd.DataFrame:
+def make_bench_corpus(
+    n_docs: int = 30000, seed: int = 13, vocab_size: int | None = None
+) -> pd.DataFrame:
     """Fully vectorized corpus generator for throughput benchmarks: Zipf
     token stream split into docs with ~40x length spread. Same schema as
-    make_docs_corpus; contents are single-space-joined (tokenizer-equivalent)."""
+    make_docs_corpus; contents are single-space-joined (tokenizer-equivalent).
+
+    ``vocab_size=None`` keeps the legacy 120-word vocabulary (every term
+    hot — a degenerate dictionary that hides per-term build costs).
+    With ``vocab_size=V`` the 120 code words head a Zipf(1.2) distribution
+    and synthetic identifiers fill ranks 120..V — the realistic
+    source-code shape (Heaps-law dictionary growth, most terms rare),
+    which is the regime the 100 TB build actually runs in and the one the
+    scaling ladder measures."""
     rng = np.random.RandomState(seed)
-    zipf_p = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.05
-    zipf_p /= zipf_p.sum()
     lens = (40 * (40 ** rng.random_sample(n_docs))).astype(np.int64)  # 40..1600
     total = int(lens.sum())
-    vocab = np.array(_VOCAB, dtype=object)
-    stream = vocab[rng.choice(len(_VOCAB), size=total, p=zipf_p)]
+    if vocab_size is None:
+        zipf_p = 1.0 / np.arange(1, len(_VOCAB) + 1) ** 1.05
+        zipf_p /= zipf_p.sum()
+        vocab = np.array(_VOCAB, dtype=object)
+        stream = vocab[rng.choice(len(_VOCAB), size=total, p=zipf_p)]
+    else:
+        ranks = np.minimum(rng.zipf(1.2, size=total), vocab_size) - 1
+        vocab = np.empty(vocab_size, dtype=object)
+        nb = min(len(_VOCAB), vocab_size)
+        vocab[:nb] = _VOCAB[:nb]
+        if vocab_size > nb:
+            vocab[nb:] = np.char.add(
+                "ident", np.arange(nb, vocab_size).astype(str)
+            ).astype(object)
+        stream = vocab[ranks]
     bounds = np.cumsum(lens)[:-1]
     docs = np.split(stream, bounds)
     contents = [" ".join(d) for d in docs]

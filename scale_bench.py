@@ -20,8 +20,14 @@ import subprocess
 import sys
 import time
 
-CORPUS_PARQUET = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "/tmp/admarus_scale_corpus.parquet")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
+# realistic source-code dictionary (Heaps-law shape): 120 code words head a
+# Zipf(1.2) distribution, synthetic identifiers fill the tail. 0 selects the
+# legacy 120-word corpus (degenerate: every term hot).
+VOCAB = int(os.environ.get("SPARK_GRAFT_SCALE_VOCAB", "200000"))
+CORPUS_PARQUET = os.environ.get(
+    "SPARK_GRAFT_SCALE_CORPUS", f"/tmp/admarus_scale_corpus_v{VOCAB}.parquet"
+)
 QUERY_BATCH = [
     "license", "parser AND lexer", "bloom / sketch / minhash", "2(posting, inverted, bm25)",
     "compiler AND NOT kernel", "lang=python AND shuffle", "retrieval ranking relevance",
@@ -39,13 +45,13 @@ def ensure_corpus() -> None:
 
     # chunked generation bounds memory at large N; chunk prefix keeps
     # (repo, path) globally unique. Small row groups -> splittable file.
-    chunk = 400_000
+    chunk = 200_000
     writer = None
     done = 0
     ci = 0
     while done < N_DOCS:
         n = min(chunk, N_DOCS - done)
-        pdf = make_bench_corpus(n, seed=13 + ci)
+        pdf = make_bench_corpus(n, seed=13 + ci, vocab_size=VOCAB or None)
         pdf["path"] = f"c{ci}/" + pdf["path"]
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
         if writer is None:
@@ -117,6 +123,11 @@ def worker(cpus: int) -> None:
                 s: round(b.metrics[s]["seconds"], 2)
                 for s in ("stage1_tokenize", "stage2_postings", "stage3_summaries")
             },
+            "sub_sec": {
+                "s1_tokenize_write": b.metrics["stage1_tokenize"].get("tokenize_write_sec"),
+                "s2_write": b.metrics["stage2_postings"].get("write_job_sec"),
+                "s2_stats": b.metrics["stage2_postings"].get("stats_job_sec"),
+            },
         }
     )
     sys.stdout.flush()
@@ -156,12 +167,14 @@ def main() -> None:
     pairs = [(lo, hi) for lo in levels for hi in levels if hi == 4 * lo]
     report = {
         "rounds": rounds,
+        "vocab_size": VOCAB,
         "n_docs": best[levels[0]]["n_docs"],
         "total_tokens": best[levels[0]]["total_tokens"],
         "all_build_secs": {f"local{c}": [round(r["build_sec"], 2) for r in runs[c]] for c in levels},
         "build_sec": {f"local{c}": round(best[c]["build_sec"], 2) for c in levels},
         "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
         "stage_sec": {f"local{c}": best[c].get("stage_sec") for c in levels},
+        "sub_sec": {f"local{c}": best[c].get("sub_sec") for c in levels},
         "query_batch_sec": {f"local{c}": round(qbest[c], 2) for c in levels},
         "query_qps": {f"local{c}": round(qps[c], 2) for c in levels},
         "scaling_efficiency": {
