@@ -66,16 +66,33 @@ from .codec import (
 MARKER_TERM = ""  # per-doc marker row; real tokens are always len >= 3
 
 
+TF_SCHEMA = "doc_id long, term string, meta long"
+
+
+def pack_meta(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+    """(tf, dl) packed into ONE int64: tf<<32 | dl. The tf table and every
+    byte of it that flows scan -> Arrow -> pandas in stage 2 shrinks by a
+    full column (~25% of the fixed-width row) — measured as a direct cut of
+    the memory-bandwidth contention that limits multi-core build scaling.
+    dl < 2^32 (4G tokens/doc), tf < 2^31."""
+    return (tf.astype(np.int64) << 32) | dl.astype(np.int64)
+
+
+def unpack_meta(meta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return meta >> 32, meta & 0xFFFFFFFF
+
+
 def _tokenize_tf_map(batches):
-    """Arrow-batched (doc_id, content) -> (doc_id, term, tf, dl): the
+    """Arrow-batched (doc_id, content) -> (doc_id, term, meta): the
     reference's tokenize + per-doc posting upsert (inner_im.rs:62-87) as one
     vectorized pass — factorize the batch's token stream, then a single
-    np.unique over combined (row, term-code) keys yields every tf.
+    np.unique over combined (row, term-code) keys yields every tf; tf and
+    dl ride packed in one int64 (see pack_meta).
 
-    Each doc ALSO emits one MARKER row (term="", tf=0, dl=token count): the
-    marker stream IS the per-doc length table and the liveness set, so
-    doc_dict and stats never re-scan content (one content scan per build)
-    and doc_len needs no groupBy shuffle."""
+    Each doc ALSO emits one MARKER row (term="", meta=dl): the marker
+    stream IS the per-doc length table and the liveness set, so doc_dict
+    and stats never re-scan content (one content scan per build) and
+    doc_len needs no groupBy shuffle."""
     from ..tokenizer import tokenize_series
 
     for pdf in batches:
@@ -87,8 +104,7 @@ def _tokenize_tf_map(batches):
             {
                 "doc_id": doc_ids,
                 "term": np.repeat(MARKER_TERM, len(pdf)),
-                "tf": np.zeros(len(pdf), dtype=np.int64),
-                "dl": lens,
+                "meta": lens,  # tf=0 -> meta == dl
             }
         )
         if total == 0:
@@ -115,8 +131,7 @@ def _tokenize_tf_map(batches):
                     {
                         "doc_id": doc_ids[r],
                         "term": np.asarray(uniques, dtype=object)[c],
-                        "tf": counts.astype(np.int64),
-                        "dl": lens[r],
+                        "meta": pack_meta(counts, lens[r]),
                     }
                 ),
                 markers,
@@ -429,7 +444,7 @@ class IndexBuilder:
             "validate_sha": self.validate_sha,
             "hot_df_threshold": self.hot_df_threshold,
             "strategy": self.strategy,
-            "schema": 4,  # r3: global-bloom rollup row in summaries
+            "schema": 5,  # r3: summaries rollup row; tf meta packing
         }
         lineage1 = {"key": {**key, "stage": 1}}
         lineage2 = {"key": {**key, "stage": 2}}
@@ -502,7 +517,7 @@ class IndexBuilder:
         # (which measured 2-7x anti-scaling from GC pressure at high thread
         # counts), and Arrow carries ~3x fewer bytes out than token lists.
         tf = with_ids.select("doc_id", "content").mapInPandas(
-            _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
+            _tokenize_tf_map, TF_SCHEMA
         )
         t_tf0 = time.time()
         tf.write.mode("overwrite").parquet(paths.tf)
@@ -515,7 +530,7 @@ class IndexBuilder:
         doc_len = (
             spark.read.parquet(paths.tf)
             .filter(F.col("term") == MARKER_TERM)
-            .select("doc_id", F.col("dl").cast("int").alias("doc_len"))
+            .select("doc_id", F.col("meta").cast("int").alias("doc_len"))  # marker meta == dl
         )
         slim = docs.select("repo", "path", "commit", "lang", "content_sha256")
         (
@@ -583,6 +598,34 @@ class IndexBuilder:
         a RAM hashmap)."""
         t0 = time.time()
         spark = self.spark
+        # stage-scoped tuning, restored on exit:
+        # - bigger Arrow batches: the tf stream is slim fixed-width rows, so
+        #   64k-row batches cut per-batch Arrow/pandas overhead ~16x (the
+        #   session default stays small for fat content rows);
+        # - shuffle partitions = n_buckets and no AQE coalescing: the merge
+        #   groupBy lands EXACTLY one bucket per reduce task — AQE would
+        #   coalesce small buckets into few tasks whose skew makes the merge
+        #   a straggler at higher core counts.
+        scoped = {
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+            "spark.sql.shuffle.partitions": str(self.n_buckets),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        prev_conf = {}
+        for k, v in scoped.items():
+            prev_conf[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            self._stage2_inner(paths, lineage, t0)
+        finally:
+            for k, v in prev_conf.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def _stage2_inner(self, paths: IndexPaths, lineage: dict, t0: float) -> None:
+        spark = self.spark
         stats = spark.read.parquet(paths.stats).collect()[0]
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
         chunk_span = max(1, math.ceil(n_docs / self.salt_chunks))
@@ -622,8 +665,7 @@ class IndexBuilder:
         def _encode(term: str, pdf: pd.DataFrame) -> dict:
             pdf = pdf.sort_values("doc_id", kind="mergesort")
             ids = pdf["doc_id"].to_numpy(np.int64)
-            tfs = pdf["tf"].to_numpy(np.int64)
-            dls = pdf["dl"].to_numpy(np.int64)
+            tfs, dls = unpack_meta(pdf["meta"].to_numpy(np.int64))
             enc = encode_postings(ids, tfs, dls, block_size)
             starts = np.cumsum(np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64))))
             bmax = block_max_saturation(tfs, dls, avgdl, starts)
@@ -665,12 +707,20 @@ class IndexBuilder:
             pdfs = list(batches)
             if not pdfs:
                 return
-            pdf = pd.concat(pdfs, ignore_index=True)
-            codes, uniq = pd.factorize(pdf["term"], sort=False)
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            tfv = pdf["tf"].to_numpy(np.int64)
-            dlv = pdf["dl"].to_numpy(np.int64)
-            order = np.lexsort((ids, codes))
+            # column-wise assembly (no whole-frame pd.concat copy)
+            terms_col = np.concatenate([p["term"].to_numpy() for p in pdfs])
+            ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
+            meta = np.concatenate([p["meta"].to_numpy(np.int64) for p in pdfs])
+            codes, uniq = pd.factorize(terms_col, sort=False)
+            tfv, dlv = unpack_meta(meta)
+            # (term, doc_id) sort: a composite single int64 key sorts ~2x
+            # faster than a two-key lexsort when both fit (codes < 2^22,
+            # ids < 2^41 — up to 2T docs); fall back to lexsort otherwise
+            nuq = len(uniq)
+            if nuq < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
+                order = np.argsort((codes.astype(np.int64) << 41) | ids, kind="stable")
+            else:
+                order = np.lexsort((ids, codes))
             codes_s, ids_s = codes[order], ids[order]
             tfs_s, dls_s = tfv[order], dlv[order]
             starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))

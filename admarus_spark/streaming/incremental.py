@@ -153,10 +153,11 @@ class IncrementalIndexer:
                 .parquet(tomb_path)
             )
 
+        from ..index.build import MARKER_TERM, TF_SCHEMA, unpack_meta
+
         tf_all = with_ids.select("doc_id", "content").mapInPandas(
-            _tokenize_tf_map, "doc_id long, term string, tf long, dl long"
+            _tokenize_tf_map, TF_SCHEMA
         )
-        from ..index.build import MARKER_TERM
 
         tf = tf_all.filter(F.col("term") != MARKER_TERM)
         bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
@@ -166,8 +167,7 @@ class IncrementalIndexer:
             (term,) = key
             pdf = pdf.sort_values("doc_id", kind="mergesort")
             ids = pdf["doc_id"].to_numpy(np.int64)
-            tfs = pdf["tf"].to_numpy(np.int64)
-            dls = pdf["dl"].to_numpy(np.int64)
+            tfs, dls = unpack_meta(pdf["meta"].to_numpy(np.int64))
             enc = encode_postings(ids, tfs, dls, block_size)
             starts = np.cumsum(np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64))))
             bmax = block_max_saturation(tfs, dls, bm_avgdl, starts)
@@ -243,7 +243,7 @@ class IncrementalIndexer:
         # append to doc_dict (per-doc length from the tokenize marker rows —
         # no groupBy; zero-token docs carry dl=0 markers)
         doc_len = tf_all.filter(F.col("term") == MARKER_TERM).select(
-            "doc_id", F.col("dl").cast("int").alias("doc_len")
+            "doc_id", F.col("meta").cast("int").alias("doc_len")  # marker meta == dl
         )
         (
             with_ids.select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
