@@ -607,10 +607,20 @@ class IndexBuilder:
         #   coalesce small buckets into few tasks whose skew makes the merge
         #   a straggler at higher core counts.
         scoped = {
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
-            "spark.sql.shuffle.partitions": str(self.n_buckets),
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+                "SPARK_GRAFT_S2_ARROW_BATCH", "65536"
+            ),
+            # opt-in knobs (A/B'd at 800k: the session defaults measured
+            # best at local[4]; pinning merge partitions to n_buckets only
+            # pays off when cores >> buckets)
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_S2_SHUFFLE_PARTS", ""
+            ),
+            "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
+                "SPARK_GRAFT_S2_AQE_COALESCE_OFF", ""
+            ),
         }
+        scoped = {k: v for k, v in scoped.items() if v}
         prev_conf = {}
         for k, v in scoped.items():
             prev_conf[k] = spark.conf.get(k, None)
