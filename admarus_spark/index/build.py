@@ -421,7 +421,13 @@ class IndexBuilder:
     spark: SparkSession
     index_dir: str
     n_buckets: int = 32          # postings partition buckets (term-hash)
-    strategy: str = "local-merge"  # 'local-merge' | 'salted-groupby' (see _stage2)
+    # 'local-merge' (default): per-partition local index -> blob shuffle ->
+    #   per-bucket merge. 'salted-groupby': explicit df-driven hot-term
+    #   salting. 'shuffle-encode': raw tf shuffled by term bucket, ONE
+    #   whole-bucket encode (no chunk fragments, no merge stage, one UDF
+    #   crossing) — fastest when no single term dwarfs its bucket; fall
+    #   back to the salted strategies for adversarial single-term skew.
+    strategy: str = "local-merge"
     salt_chunks: int = 8         # doc-id range chunks for hot-term salting
     hot_df_threshold: int | None = None  # df above which a term is salted; None -> auto
     block_size: int = BLOCK_SIZE
@@ -760,6 +766,49 @@ class IndexBuilder:
                 }
             )
 
+        def encode_bucket_direct(batches):
+            """shuffle-encode strategy: the partition holds EVERY row of its
+            term bucket(s), so one factorize + sort + encode_postings_many
+            yields the final postings rows — no chunk fragments, no merge
+            stage, a single Python crossing for the whole of stage 2."""
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            terms_col = np.concatenate([p["term"].to_numpy() for p in pdfs])
+            ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
+            meta = np.concatenate([p["meta"].to_numpy(np.int64) for p in pdfs])
+            tbs = np.concatenate([p["tb"].to_numpy(np.int64) for p in pdfs])
+            codes, uniq = pd.factorize(terms_col, sort=False)
+            tfv, dlv = unpack_meta(meta)
+            nuq = len(uniq)
+            if nuq < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
+                order = np.argsort((codes.astype(np.int64) << 41) | ids, kind="stable")
+            else:
+                order = np.lexsort((ids, codes))
+            codes_s, ids_s = codes[order], ids[order]
+            tfs_s, dls_s = tfv[order], dlv[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+            cols = encode_postings_many(
+                ids_s, tfs_s, dls_s, starts, block_size, avgdl=avgdl
+            )
+            yield pd.DataFrame(
+                {
+                    "term": np.asarray(uniq, dtype=object)[codes_s[starts]],
+                    "df": cols["df"],
+                    "ids": cols["ids"],
+                    "tfs": cols["tfs"],
+                    "dls": cols["dls"],
+                    "block_firsts": cols["block_firsts"],
+                    "block_lasts": cols["block_lasts"],
+                    "block_lens": cols["block_lens"],
+                    "ids_offs": cols["ids_offs"],
+                    "tfs_offs": cols["tfs_offs"],
+                    "dls_offs": cols["dls_offs"],
+                    "block_max": cols["block_max"],
+                    "tb": tbs[order][starts].astype(np.int32),
+                }
+            )
+
         if self.strategy == "salted-groupby":
             cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
             cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
@@ -770,6 +819,9 @@ class IndexBuilder:
                 if hot_terms
                 else None
             )
+        elif self.strategy == "shuffle-encode":
+            cold = None
+            partial = None
         else:  # local-merge (default)
             cold = None
             partial = tf.mapInPandas(encode_local, PARTIAL_SCHEMA)
@@ -868,6 +920,14 @@ class IndexBuilder:
                 merged = hot_merged if merged is None else merged.unionByName(hot_merged)
             merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
             merged = merged.repartition(n_buckets, "tb")
+        elif self.strategy == "shuffle-encode":
+            # ONE shuffle of the raw tf stream, range-partitioned on tb so
+            # each bucket lands whole (and alone) in its partition, then the
+            # single-pass whole-bucket encode
+            tfb = tf.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
+            merged = tfb.repartitionByRange(n_buckets, "tb").mapInPandas(
+                encode_bucket_direct, POSTINGS_SCHEMA + ", tb int"
+            )
         else:
             # local-merge: assign tb BEFORE the merge so ONE shuffle both
             # co-locates each term's chunks and lands them in their final

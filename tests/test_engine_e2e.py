@@ -89,6 +89,22 @@ def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
     run_parity(eng, docs_oracle, ["license", "license AND parser", "2(parser, lexer, bloom)"])
 
 
+def test_shuffle_encode_strategy_parity(spark, docs_pdf, docs_oracle, tmp_path):
+    """The single-shuffle whole-bucket encode strategy must produce
+    bit-identical query results to the default local-merge build."""
+    d = str(tmp_path / "idx_se")
+    IndexBuilder(
+        spark, d, n_buckets=8, salt_chunks=2, strategy="shuffle-encode"
+    ).build(spark.createDataFrame(docs_pdf), input_token="se")
+    eng = SearchEngine(spark, d)
+    run_parity(
+        eng,
+        docs_oracle,
+        ["license", "license AND parser", "2(parser, lexer, bloom)",
+         "parser lexer bloom", "parser AND NOT bloom", "lang=python AND bloom"],
+    )
+
+
 def test_resume_skips_completed_stages(spark, movies_pdf, tmp_path):
     d = str(tmp_path / "idx_resume")
     b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
