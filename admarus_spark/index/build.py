@@ -99,6 +99,14 @@ def _tokenize_tf_map(batches):
         toks = tokenize_series(pdf["content"])
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         total = int(lens.sum())
+        # pack_meta packs dl into 32 bits (tf <= dl gets 31): a pathological
+        # multi-billion-token doc would otherwise corrupt tf/dl silently
+        # (ADVICE r3). Cheap per-batch max, loud failure.
+        if len(lens) and int(lens.max()) >= (1 << 32):
+            raise ValueError(
+                f"document length {int(lens.max())} exceeds the 2^32 token "
+                "pack_meta bound — split the document or widen the tf schema"
+            )
         doc_ids = pdf["doc_id"].to_numpy()
         markers = pd.DataFrame(
             {
@@ -622,8 +630,11 @@ class IndexBuilder:
             "spark.sql.shuffle.partitions": os.environ.get(
                 "SPARK_GRAFT_S2_SHUFFLE_PARTS", ""
             ),
-            "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
-                "SPARK_GRAFT_S2_AQE_COALESCE_OFF", ""
+            # flag semantics: ANY non-empty value disables AQE coalescing
+            # (the name invites '1', which as a passthrough would ENABLE it —
+            # ADVICE r3)
+            "spark.sql.adaptive.coalescePartitions.enabled": (
+                "false" if os.environ.get("SPARK_GRAFT_S2_AQE_COALESCE_OFF") else ""
             ),
         }
         scoped = {k: v for k, v in scoped.items() if v}

@@ -112,7 +112,14 @@ class SearchEngine:
         if n_b is not None:
             self.n_buckets = int(n_b)
         else:
-            self.n_buckets = (max(self.bucket_blooms) + 1) if self.bucket_blooms else 1
+            # legacy fallback (pre-r2 index without stage2 metrics): infer
+            # from the summaries table, NOT the in-memory bloom dict — under
+            # lazy-bloom init the dict is empty at this point and max()+1
+            # would silently route every term with modulus 1 (ADVICE r3)
+            mx = self._summaries.filter(F.col("kind") == "terms").agg(
+                F.max("tb")
+            ).collect()[0][0]
+            self.n_buckets = int(mx) + 1 if mx is not None else 1
         # dictionary cache: for small dictionaries, (term -> df) is loaded
         # once at init so queries skip the per-query df-collect job; at
         # billion-term scale this stays lazy (per-query pruned collect).

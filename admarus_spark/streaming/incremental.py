@@ -296,15 +296,28 @@ class IncrementalIndexer:
             (F.col("kind") == "terms") & ~F.col("tb").isin(affected)
         )
         terms_all = old_terms.unionByName(fresh_summ).persist()
-        # meta bloom: rebuild (lang/repo value sets may have grown) — same
-        # distributed partial-bloom OR-fold as the full build (no driver-side
-        # distinct().collect() over repo); global term-bloom rollup row
-        # recomputed from the updated per-bucket blooms (engine init reads
-        # only the meta+global rows)
+        # meta bloom: INCREMENTAL OR — fold only the DELTA's name=value words
+        # into a partial bloom and bit-OR it with the stored meta row, so a
+        # 1k-row update costs O(delta), not a full doc_dict scan (VERDICT r3
+        # #5). Bit-OR is exact for bloom insertion (inserting a word IS
+        # OR-ing its bit pattern), and removals never shrink the filter —
+        # blooms are a pruning gate, so a superset is rank-safe; compact()
+        # and full rebuilds re-tighten it.
         from ..index.build import bloom_rollup_rows, meta_bloom_bytes
 
-        ddn = spark.read.parquet(paths.doc_dict)
-        meta_bytes, _ = meta_bloom_bytes(ddn)
+        delta_dd = with_ids.select(
+            *[c for c in ("lang", "repo") if c in with_ids.columns]
+        )
+        delta_bytes, _ = meta_bloom_bytes(delta_dd)
+        old_meta = (
+            spark.read.parquet(paths.summaries)
+            .filter(F.col("kind") == "meta")
+            .collect()
+        )
+        meta_acc = np.frombuffer(delta_bytes, dtype=np.uint8).copy()
+        for r in old_meta:
+            meta_acc |= np.frombuffer(r["filter"], dtype=np.uint8)
+        meta_bytes = meta_acc.tobytes()
         summ = terms_all.unionByName(bloom_rollup_rows(spark, terms_all, meta_bytes))
         # write-then-swap (summaries dir is tiny)
         tmp = paths.summaries + "_next"

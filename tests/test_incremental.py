@@ -230,3 +230,20 @@ def test_changed_content_reindexed(spark, tmp_path):
     # re-sending the same changed row is now a no-op (sha matches live row)
     m2 = inc.update(spark.createDataFrame(changed), input_token="up-delta-2")
     assert m2["rows_new"] == 0 and m2["rows_changed"] == 0
+
+
+def test_incremental_meta_bloom_covers_delta_values(spark, inc_setup):
+    """update() folds ONLY the delta's name=value words into the stored meta
+    bloom (O(delta), no full doc_dict rescan — VERDICT r3 #5); the result
+    must still cover every live metadata word of the union corpus."""
+    d, base, extra, union, _ = inc_setup
+    from admarus_spark.hashword import filter_get
+
+    eng = SearchEngine(spark, d)
+    words = set()
+    for col in ("lang", "repo"):
+        if col in union.columns:
+            words |= {f"{col}={v}" for v in union[col].dropna().unique()}
+    assert words
+    for w in sorted(words):
+        assert filter_get(eng.meta_bloom, w), w
