@@ -399,6 +399,29 @@ PARTIAL_SCHEMA = (
 )
 
 
+def _postings_arrow_schema():
+    """PyArrow twin of ``POSTINGS_SCHEMA + ", tb int"`` (mapInArrow output)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("ids", pa.binary()),
+            ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("block_firsts", pa.list_(pa.int64())),
+            ("block_lasts", pa.list_(pa.int64())),
+            ("block_lens", pa.list_(pa.int32())),
+            ("ids_offs", pa.list_(pa.int64())),
+            ("tfs_offs", pa.list_(pa.int64())),
+            ("dls_offs", pa.list_(pa.int64())),
+            ("block_max", pa.list_(pa.float64())),
+            ("tb", pa.int32()),
+        ]
+    )
+
+
 @dataclass
 class IndexPaths:
     index_dir: str
@@ -429,13 +452,17 @@ class IndexBuilder:
     spark: SparkSession
     index_dir: str
     n_buckets: int = 32          # postings partition buckets (term-hash)
-    # 'local-merge' (default): per-partition local index -> blob shuffle ->
-    #   per-bucket merge. 'salted-groupby': explicit df-driven hot-term
-    #   salting. 'shuffle-encode': raw tf shuffled by term bucket, ONE
-    #   whole-bucket encode (no chunk fragments, no merge stage, one UDF
-    #   crossing) — fastest when no single term dwarfs its bucket; fall
-    #   back to the salted strategies for adversarial single-term skew.
-    strategy: str = "local-merge"
+    # 'auto' (default): 'shuffle-encode' when the estimated per-bucket raw
+    #   bytes fit a single worker (see _stage2_inner guard), else
+    #   'local-merge'. 'shuffle-encode': raw tf shuffled once by term
+    #   bucket (identity-routed, one bucket per partition), ONE Arrow-native
+    #   whole-bucket encode — no chunk fragments, no merge stage, a single
+    #   Python crossing for all of stage 2. 'local-merge': per-partition
+    #   local index -> compressed-blob shuffle -> per-bucket merge (per-task
+    #   memory bounded by partition size — the fallback when a bucket
+    #   outgrows one worker). 'salted-groupby': explicit df-driven hot-term
+    #   salting (kept for adversarial single-term skew experiments).
+    strategy: str = "auto"
     salt_chunks: int = 8         # doc-id range chunks for hot-term salting
     hot_df_threshold: int | None = None  # df above which a term is salted; None -> auto
     block_size: int = BLOCK_SIZE
@@ -657,6 +684,23 @@ class IndexBuilder:
         n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
         chunk_span = max(1, math.ceil(n_docs / self.salt_chunks))
         block_size = self.block_size
+        n_buckets = self.n_buckets
+
+        # 'auto' resolution + memory guard for the whole-bucket encode: one
+        # worker holds ONE bucket's raw rows plus NumPy temporaries, so gate
+        # on a conservative upper bound of the bucket's raw bytes
+        # (total_tokens bounds the tf row count; ~48 B/row covers ids + meta
+        # + term bytes). Above the cap, local-merge bounds per-task memory
+        # by PARTITION size instead of bucket size. The bound also covers
+        # the one-term-dwarfs-its-bucket case (a term's rows are a subset of
+        # its bucket's). At corpus scale n_buckets grows with the data (the
+        # bucket is the shard unit), keeping buckets under the cap.
+        strategy = self.strategy
+        if strategy == "auto":
+            cap = int(os.environ.get("SPARK_GRAFT_S2_MAX_BUCKET_BYTES", str(4 << 30)))
+            est_bucket_bytes = int(stats["total_tokens"] or 0) * 48 // max(1, n_buckets)
+            strategy = "shuffle-encode" if est_bucket_bytes <= cap else "local-merge"
+        self._resolved_strategy = strategy
 
         # coalesce the tf scan to ~2 partitions per core: the global 4MB
         # split size (right for content scans) would shred tf into hundreds
@@ -674,7 +718,7 @@ class IndexBuilder:
             .filter(F.col("term") != MARKER_TERM)
         )
         hot_terms: list[str] = []
-        if self.strategy == "salted-groupby":
+        if strategy == "salted-groupby":
             # hot iff a single-task encode would exceed ~2 salt chunks of docs
             hot_threshold = (
                 self.hot_df_threshold
@@ -739,17 +783,19 @@ class IndexBuilder:
             ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
             meta = np.concatenate([p["meta"].to_numpy(np.int64) for p in pdfs])
             codes, uniq = pd.factorize(terms_col, sort=False)
-            tfv, dlv = unpack_meta(meta)
             # (term, doc_id) sort: a composite single int64 key sorts ~2x
             # faster than a two-key lexsort when both fit (codes < 2^22,
-            # ids < 2^41 — up to 2T docs); fall back to lexsort otherwise
+            # ids < 2^41 — up to 2T docs); fall back to lexsort otherwise.
+            # (doc, term) pairs are unique -> the key is unique -> the
+            # default (unstable, faster) sort is deterministic.
             nuq = len(uniq)
             if nuq < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
-                order = np.argsort((codes.astype(np.int64) << 41) | ids, kind="stable")
+                order = np.argsort((codes.astype(np.int64) << 41) | ids)
             else:
                 order = np.lexsort((ids, codes))
             codes_s, ids_s = codes[order], ids[order]
-            tfs_s, dls_s = tfv[order], dlv[order]
+            # one gather of packed meta, unpack after (halves the gathers)
+            tfs_s, dls_s = unpack_meta(meta[order])
             starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
             # vectorized multi-term encode: three whole-partition varint
             # passes + per-term blob slicing — with a realistic source-code
@@ -777,50 +823,87 @@ class IndexBuilder:
                 }
             )
 
-        def encode_bucket_direct(batches):
+        def encode_bucket_arrow(batches):
             """shuffle-encode strategy: the partition holds EVERY row of its
-            term bucket(s), so one factorize + sort + encode_postings_many
+            term bucket, so one dictionary-encode + sort + encode_postings_many
             yields the final postings rows — no chunk fragments, no merge
-            stage, a single Python crossing for the whole of stage 2."""
-            pdfs = list(batches)
-            if not pdfs:
+            stage, a single Python crossing for the whole of stage 2.
+
+            Arrow-NATIVE on purpose (mapInArrow, not mapInPandas): the input
+            is millions of slim rows per bucket, and converting their term
+            strings to pandas object arrays was the dominant cost of the
+            pandas variant (per-string Python object allocation, measured as
+            the memory-bandwidth hot spot that anti-scaled at high core
+            counts). Here the strings stay in Arrow buffers end to end:
+            ``dictionary_encode`` (C++) yields int32 codes + a unique-string
+            dictionary; NumPy touches only fixed-width columns; just the
+            per-TERM outputs (a few thousand rows) materialize Python
+            objects."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
                 return
-            terms_col = np.concatenate([p["term"].to_numpy() for p in pdfs])
-            ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
-            meta = np.concatenate([p["meta"].to_numpy(np.int64) for p in pdfs])
-            tbs = np.concatenate([p["tb"].to_numpy(np.int64) for p in pdfs])
-            codes, uniq = pd.factorize(terms_col, sort=False)
-            tfv, dlv = unpack_meta(meta)
+            tbl = pa.Table.from_batches(bl)
+            term_chunks = tbl.column("term").chunks
+            term_arr = (
+                term_chunks[0]
+                if len(term_chunks) == 1
+                else pa.concat_arrays(term_chunks)
+            )
+            denc = pc.dictionary_encode(term_arr)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = denc.dictionary
+            ids = np.ascontiguousarray(tbl.column("doc_id").to_numpy(), dtype=np.int64)
+            meta = np.ascontiguousarray(tbl.column("meta").to_numpy(), dtype=np.int64)
+            tbs = tbl.column("tb").to_numpy()
             nuq = len(uniq)
+            # (term, doc_id) sort via one composite int64 key when both fit
+            # (codes < 2^22, ids < 2^41 — up to 2T docs), else lexsort.
+            # (doc, term) pairs are unique, so the key is unique and the
+            # default (unstable, faster) sort is deterministic.
             if nuq < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
-                order = np.argsort((codes.astype(np.int64) << 41) | ids, kind="stable")
+                order = np.argsort((codes << 41) | ids)
             else:
                 order = np.lexsort((ids, codes))
             codes_s, ids_s = codes[order], ids[order]
-            tfs_s, dls_s = tfv[order], dlv[order]
+            # ONE gather of the packed meta column, unpack after (saves a
+            # full-size random-access pass vs gathering tf and dl separately)
+            tfs_s, dls_s = unpack_meta(meta[order])
             starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
             cols = encode_postings_many(
-                ids_s, tfs_s, dls_s, starts, block_size, avgdl=avgdl
+                ids_s, tfs_s, dls_s, starts, block_size, avgdl=avgdl, flat=True
             )
-            yield pd.DataFrame(
-                {
-                    "term": np.asarray(uniq, dtype=object)[codes_s[starts]],
-                    "df": cols["df"],
-                    "ids": cols["ids"],
-                    "tfs": cols["tfs"],
-                    "dls": cols["dls"],
-                    "block_firsts": cols["block_firsts"],
-                    "block_lasts": cols["block_lasts"],
-                    "block_lens": cols["block_lens"],
-                    "ids_offs": cols["ids_offs"],
-                    "tfs_offs": cols["tfs_offs"],
-                    "dls_offs": cols["dls_offs"],
-                    "block_max": cols["block_max"],
-                    "tb": tbs[order][starts].astype(np.int32),
-                }
+            # zero-copy list columns: one offsets array + the flat values
+            # (a per-term np.split + pa.array(list) pays ~10^5 Python view
+            # allocations per bucket, measured as a visible build-stage cost)
+            boffs = pa.array(
+                np.concatenate(([0], np.cumsum(cols["nb"]))).astype(np.int32),
+                type=pa.int32(),
             )
 
-        if self.strategy == "salted-groupby":
+            def _list(vals, typ):
+                return pa.ListArray.from_arrays(boffs, pa.array(vals, type=typ))
+
+            arrays = [
+                pc.take(uniq, pa.array(codes_s[starts])),
+                pa.array(cols["df"], type=pa.int64()),
+                pa.array(cols["ids"], type=pa.binary()),
+                pa.array(cols["tfs"], type=pa.binary()),
+                pa.array(cols["dls"], type=pa.binary()),
+                _list(cols["block_firsts"], pa.int64()),
+                _list(cols["block_lasts"], pa.int64()),
+                _list(cols["block_lens"], pa.int32()),
+                _list(cols["ids_offs"], pa.int64()),
+                _list(cols["tfs_offs"], pa.int64()),
+                _list(cols["dls_offs"], pa.int64()),
+                _list(cols["block_max"], pa.float64()),
+                pa.array(tbs[order][starts].astype(np.int32), type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_postings_arrow_schema())
+
+        if strategy == "salted-groupby":
             cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
             cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
             partial = (
@@ -830,10 +913,10 @@ class IndexBuilder:
                 if hot_terms
                 else None
             )
-        elif self.strategy == "shuffle-encode":
+        elif strategy == "shuffle-encode":
             cold = None
             partial = None
-        else:  # local-merge (default)
+        else:  # local-merge
             cold = None
             partial = tf.mapInPandas(encode_local, PARTIAL_SCHEMA)
 
@@ -857,8 +940,6 @@ class IndexBuilder:
             pdf = pdf.sort_values("chunk", kind="mergesort")
             chunks = [_chunk_dict(r) for r in pdf.itertuples()]
             return pd.DataFrame([_merge_term_chunks(term, chunks, block_size, avgdl)])
-
-        n_buckets = self.n_buckets
 
         def merge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             """Merge ALL terms of one term-hash bucket in a single pandas
@@ -924,20 +1005,35 @@ class IndexBuilder:
             out["tb"] = int(tb)
             return out
 
-        if self.strategy == "salted-groupby":
+        if strategy == "salted-groupby":
             merged = cold
             if partial is not None:
                 hot_merged = partial.groupBy("term").applyInPandas(merge_term, POSTINGS_SCHEMA)
                 merged = hot_merged if merged is None else merged.unionByName(hot_merged)
             merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
             merged = merged.repartition(n_buckets, "tb")
-        elif self.strategy == "shuffle-encode":
-            # ONE shuffle of the raw tf stream, range-partitioned on tb so
-            # each bucket lands whole (and alone) in its partition, then the
-            # single-pass whole-bucket encode
-            tfb = tf.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
-            merged = tfb.repartitionByRange(n_buckets, "tb").mapInPandas(
-                encode_bucket_direct, POSTINGS_SCHEMA + ", tb int"
+        elif strategy == "shuffle-encode":
+            # ONE shuffle of the raw tf stream: tb is computed JVM-side
+            # (codegen), then routed through identity-partition probe keys so
+            # each bucket lands whole — and ALONE — in its shuffle partition.
+            # This replaces repartitionByRange (which pays a sampling pass
+            # over the child plan, i.e. a second tf scan) and plain hash
+            # repartition (balls-in-bins collisions put 2-4 buckets in one
+            # partition — a straggler at one-wave parallelism).
+            from ..murmur import identity_partition_keys
+
+            route = F.element_at(
+                F.array(*[F.lit(int(j)) for j in identity_partition_keys(n_buckets)]),
+                F.col("tb") + 1,
+            )
+            merged = (
+                tf.withColumn(
+                    "tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)).cast("int")
+                )
+                .withColumn("pk", route)
+                .repartition(n_buckets, "pk")
+                .drop("pk")
+                .mapInArrow(encode_bucket_arrow, POSTINGS_SCHEMA + ", tb int")
             )
         else:
             # local-merge: assign tb BEFORE the merge so ONE shuffle both
@@ -980,7 +1076,8 @@ class IndexBuilder:
                 "n_terms": sum(per_bucket.values()),
                 "n_postings": sum(int(r["posts"] or 0) for r in rows),
                 "max_df": max((int(r["mx"] or 0) for r in rows), default=0),
-                "strategy": self.strategy,
+                "strategy": strategy,            # resolved ('auto' never persists)
+                "strategy_configured": self.strategy,
                 "salt_chunk_span": chunk_span,
                 "hot_df_threshold": hot_threshold,
                 "n_hot_terms": len(hot_terms),

@@ -39,27 +39,49 @@ def encode_varint(a: np.ndarray) -> bytes:
 
 
 def _encode_varint_lens(a: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Varint encode + per-value byte lengths (for block byte offsets)."""
+    """Varint encode + per-value byte lengths (for block byte offsets).
+
+    Build-side hot path (~every posting value flows through here three
+    times), so the write loop works on a SHRINKING index set: byte 0 of
+    every value is one unmasked scatter, then only the values still needing
+    bytes stay in play (real streams are 70-99% single-byte — tf/gap/dl
+    distributions — so pass k touches a fraction of pass k-1). The old
+    full-size boolean-mask passes re-scanned all n values per byte."""
     a = np.ascontiguousarray(a, dtype=np.uint64)
     n = a.size
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)
+    # byte widths via thresholds (no shifted temporaries): iterations bounded
+    # by the width of the LARGEST value, each one compare + add
     nbytes = np.ones(n, dtype=np.int64)
-    v = a >> np.uint64(7)
-    while v.any():
-        nbytes += v > 0
-        v >>= np.uint64(7)
+    amax = int(a.max())
+    thr = 1 << 7
+    while amax >= thr:
+        nbytes += a >= np.uint64(thr)
+        thr <<= 7
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    vals = a.copy()
-    for k in range(int(nbytes.max())):
-        sel = nbytes > k
-        idx = starts[sel] + k
-        b = (vals[sel] & np.uint64(0x7F)).astype(np.uint8)
-        more = (k + 1) < nbytes[sel]
-        out[idx] = b | (more.astype(np.uint8) << 7)
-        vals[sel] = vals[sel] >> np.uint64(7)
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    more = nbytes > 1
+    out[starts] = (
+        (a & np.uint64(0x7F)) | (more.astype(np.uint64) << np.uint64(7))
+    ).astype(np.uint8)
+    idx = np.flatnonzero(more)
+    if idx.size:
+        vals = a[idx] >> np.uint64(7)
+        pos = starts[idx] + 1
+        rem = nbytes[idx] - 1
+        while True:
+            m = rem > 1
+            out[pos] = (
+                (vals & np.uint64(0x7F)) | (m.astype(np.uint64) << np.uint64(7))
+            ).astype(np.uint8)
+            if not m.any():
+                break
+            sel = np.flatnonzero(m)
+            vals = vals[sel] >> np.uint64(7)
+            pos = pos[sel] + 1
+            rem = rem[sel] - 1
     return out.tobytes(), nbytes
 
 
@@ -146,6 +168,7 @@ def encode_postings_many(
     term_starts: np.ndarray,
     block_size: int = BLOCK_SIZE,
     avgdl: float | None = None,
+    flat: bool = False,
 ) -> dict:
     """Encode MANY terms' posting lists in three whole-partition varint
     passes instead of one ``encode_postings`` call per term.
@@ -165,7 +188,13 @@ def encode_postings_many(
     Returns a dict of COLUMNS (length k = number of terms): ``df`` int64
     array; ``ids``/``tfs``/``dls`` lists of bytes; the block metadata
     fields as lists of ndarray views (np.split — no per-term Python
-    conversion; Arrow consumes ndarray list-values directly)."""
+    conversion; Arrow consumes ndarray list-values directly).
+
+    ``flat=True`` skips the per-term np.split entirely: block metadata
+    fields come back as FLAT arrays plus ``nb`` (blocks per term), for
+    zero-copy ``pa.ListArray.from_arrays`` construction — at 10^5 terms
+    per bucket the per-term view/list materialization is a measurable
+    slice of build stage 2."""
     ids = np.ascontiguousarray(ids, dtype=np.int64)
     n = ids.size
     term_starts = np.asarray(term_starts, dtype=np.int64)
@@ -217,6 +246,25 @@ def encode_postings_many(
         hi = cum[term_ends]
         return [bytes(mv[a:b]) for a, b in zip(lo.tolist(), hi.tolist())]
 
+    if flat:
+        out = {
+            "df": term_lens,
+            "nb": nb,
+            "ids": _blob_slices(ids_blob, ids_c),
+            "tfs": _blob_slices(tfs_blob, tfs_c),
+            "dls": _blob_slices(dls_blob, dls_c),
+            "block_firsts": block_firsts,
+            "block_lasts": block_lasts,
+            "block_lens": block_lens.astype(np.int32),
+            "ids_offs": ids_offs,
+            "tfs_offs": tfs_offs,
+            "dls_offs": dls_offs,
+        }
+        if avgdl is not None:
+            out["block_max"] = block_max_saturation(
+                np.asarray(tfs), np.asarray(dls), float(avgdl), block_starts
+            )
+        return out
     out = {
         "df": term_lens,
         "ids": _blob_slices(ids_blob, ids_c),

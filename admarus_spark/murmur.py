@@ -65,3 +65,33 @@ def spark_hash_string(s: str, seed: int = 42) -> int:
 def term_bucket(term: str, n_buckets: int) -> int:
     """Equals Spark ``pmod(hash(term), n_buckets)``."""
     return spark_hash_string(term) % n_buckets
+
+
+def spark_hash_int(i: int, seed: int = 42) -> int:
+    """Equals Spark SQL ``hash(i)`` for a 32-bit int column (one Murmur3 mix
+    round over the int value + finalize with length 4 — see
+    Murmur3_x86_32.hashInt in the public Spark source)."""
+    h1 = _mix_h1(seed & _MASK32, _mix_k1(i & _MASK32))
+    return _i32(_fmix(h1, 4))
+
+
+def identity_partition_keys(n: int) -> list[int]:
+    """Routing keys that make DataFrame.repartition(n, key) an IDENTITY
+    partitioner over bucket ids: ``keys[tb]`` is an int whose Spark hash
+    lands in shuffle partition ``tb`` (``pmod(spark_hash_int(keys[tb]), n)
+    == tb``), found by driver-side probing (coupon-collector, ~n·ln n
+    probes of a pure Python hash — microseconds).
+
+    DataFrames expose no custom partitioner, and ``repartitionByRange``
+    pays a sampling pass over the child plan; routing through these probe
+    keys gives exactly one term-hash bucket per shuffle partition with a
+    plain hash repartition — no sampling job, no balls-in-bins collision
+    skew (a straggler factor at one-wave parallelism)."""
+    keys: dict[int, int] = {}
+    j = 0
+    while len(keys) < n:
+        p = spark_hash_int(j) % n
+        if p not in keys:
+            keys[p] = j
+        j += 1
+    return [keys[p] for p in range(n)]
