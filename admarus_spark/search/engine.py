@@ -132,6 +132,8 @@ class SearchEngine:
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
         self._live_cache: list[DataFrame] = []
+        # decode-pruning evidence from the last cross-term BMW query
+        self.last_bmw: dict | None = None
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = {
@@ -296,7 +298,19 @@ class SearchEngine:
                 # df_cache after an external update): no doc can match
                 return self._empty_result()
             if df_map:
-                decoded = self._decode(pruned, k if use_wand else None, cand_ids)
+                # cross-term BMW: one global threshold shared by every term
+                # (strictly more pruning than the per-term greedy, which
+                # must keep >= k docs PER term); falls back to the greedy
+                # per-term selection when masks are not applicable
+                wand_k = k if use_wand else None
+                block_masks = None
+                if use_wand and len(df_map) > 1:
+                    # single-term queries: per-term greedy == BMW result, so
+                    # skip the two extra driver round-trips
+                    block_masks = self._bmw_masks(pruned, df_map, k)
+                    if block_masks is not None:
+                        wand_k = None
+                decoded = self._decode(pruned, wand_k, cand_ids, block_masks)
                 scored, term_col = self._score(decoded, df_map)
 
         if scored is None and not has_filter_cands:
@@ -453,6 +467,86 @@ class SearchEngine:
         ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
     # --------------------------------------------------------------------
+    def _bmw_masks(self, pruned: DataFrame, df_map: dict[str, int], k: int):
+        """Cross-term block-max WAND (classic BMW, driver-coordinated):
+        compute ONE global score threshold θ shared by every query term,
+        then per-term block keep-masks ``ub >= θ`` shipped into the
+        distributed decode.
+
+        θ is established driver-side: blocks are ranked by upper bound
+        ``ub = idf_t · block_max`` across ALL terms; blobs of the few
+        highest-ub blocks are fetched (partition/term-pruned collect, KBs)
+        and decoded until k DISTINCT docs are seen; θ = the k-th best of
+        their actual scores. Each decoded score lower-bounds that doc's
+        global max-fold score, so θ lower-bounds the true k-th best —
+        skipping any block with ub < θ is rank-safe, and a top-k doc's best
+        component always survives, keeping its computed score exact (same
+        argument as the per-term greedy, SURVEY.md §7.4).
+
+        Returns {term: bool keep-mask} or None when not applicable (a term
+        split across multiple postings rows — legacy/mid-compaction layout —
+        where row-aligned masks cannot be keyed by term alone). Stats land
+        in ``self.last_bmw`` for plan evidence."""
+        meta = pruned.select("term", "block_lens", "block_max").collect()
+        by_term: dict[str, object] = {}
+        for r in meta:
+            if r["term"] in by_term:
+                return None
+            by_term[r["term"]] = r
+        k1, b, avgdl = BM25_K1, BM25_B, self.avgdl
+        idf = {t: bm25_idf(self.n_docs, df_map[t]) for t in by_term if t in df_map}
+        flat: list[tuple[float, str, int]] = []  # (ub, term, block_idx)
+        ub_by_term: dict[str, np.ndarray] = {}
+        for t, r in by_term.items():
+            if t not in idf:
+                continue
+            ub = idf[t] * np.asarray(r["block_max"], dtype=np.float64)
+            ub_by_term[t] = ub
+            flat.extend((float(u), t, i) for i, u in enumerate(ub))
+        if not flat:
+            return None
+        flat.sort(key=lambda x: (-x[0], x[1], x[2]))
+        # establish θ: decode highest-ub blocks until k distinct docs seen
+        best: dict[int, float] = {}
+        blob_cache: dict[str, object] = {}
+        theta = -np.inf
+        for ub, t, bi in flat:
+            if len(best) >= k:
+                break
+            row = blob_cache.get(t)
+            if row is None:
+                row = (
+                    pruned.filter(F.col("term") == t)
+                    .select("ids", "tfs", "dls", "block_firsts", "block_lens",
+                            "ids_offs", "tfs_offs", "dls_offs")
+                    .collect()[0]
+                )
+                blob_cache[t] = row
+            nb = len(row["block_lens"])
+            one = np.zeros(nb, dtype=bool)
+            one[bi] = True
+            ids, tfs, dls = decode_postings(
+                row["ids"], row["tfs"], row["dls"], list(row["block_firsts"]),
+                list(row["block_lens"]), one, list(row["ids_offs"]),
+                list(row["tfs_offs"]), list(row["dls_offs"]),
+            )
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            sat = tf / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+            sc = idf[t] * sat
+            for d, s in zip(ids.tolist(), sc.tolist()):
+                prev = best.get(d)
+                if prev is None or s > prev:
+                    best[d] = s
+        if len(best) >= k:
+            theta = float(np.sort(np.fromiter(best.values(), dtype=np.float64))[-k])
+        masks = {t: ub >= theta for t, ub in ub_by_term.items()}
+        total = sum(int(m.size) for m in masks.values())
+        kept = sum(int(m.sum()) for m in masks.values())
+        self.last_bmw = {"blocks_total": total, "blocks_kept": kept, "theta": theta}
+        return masks
+
+    # --------------------------------------------------------------------
     def _collect_term_ids(self, term: str) -> np.ndarray:
         """Driver-side decode of ONE term's posting ids (for conjunctive
         pruning): fetch the term's compressed blobs (partition-pruned,
@@ -477,7 +571,11 @@ class SearchEngine:
 
     # --------------------------------------------------------------------
     def _decode(
-        self, pruned: DataFrame, wand_k: int | None, cand_ids: np.ndarray | None = None
+        self,
+        pruned: DataFrame,
+        wand_k: int | None,
+        cand_ids: np.ndarray | None = None,
+        block_masks: dict[str, np.ndarray] | None = None,
     ) -> DataFrame:
         """Arrow-batched posting decode; the inner loop is NumPy over blocks.
 
@@ -486,10 +584,14 @@ class SearchEngine:
         saturation >= the block's upper bound are known — block-max WAND
         specialized to per-term lists (SURVEY.md §4 O12).
 
+        With ``block_masks`` set (cross-term BMW, see ``_bmw_masks``), each
+        term decodes exactly its precomputed keep-mask — no per-row greedy
+        loop in the executors at all.
+
         With ``cand_ids`` set (conjunctive pruning; mutually exclusive with
-        ``wand_k``), a block is decoded only when its id range [first_i,
-        first_{i+1}) intersects the candidate set, and decoded rows outside
-        the set are dropped — exact, because every true match is a candidate."""
+        the other two), a block is decoded only when its id range [first_i,
+        last_i] intersects the candidate set, and decoded rows outside the
+        set are dropped — exact, because every true match is a candidate."""
         cols = [
             "term", "ids", "tfs", "dls",
             "block_firsts", "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
@@ -510,6 +612,10 @@ class SearchEngine:
                     keep = None
                     if wand_k is not None:
                         keep = _select_blocks_topk(r, wand_k, k1, b, avgdl)
+                    elif block_masks is not None:
+                        keep = block_masks.get(r.term)
+                        if keep is not None and keep.all():
+                            keep = None  # full decode, skip the gather path
                     elif cand is not None and has_lasts:
                         keep = _select_blocks_intersect(r, cand)
                     ids, tfs, dls = decode_postings(

@@ -80,7 +80,7 @@ def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
     must produce identical query results (SURVEY.md §5 test plan b)."""
     d = str(tmp_path / "idx_alt")
     # exercises the explicit df-salted strategy (the default engine path is
-    # local-merge); both must give identical results
+    # auto -> shuffle-encode); both must give identical results
     IndexBuilder(
         spark, d, n_buckets=3, salt_chunks=1, hot_df_threshold=10,
         strategy="salted-groupby",
@@ -90,12 +90,14 @@ def test_partition_count_invariance(spark, docs_pdf, docs_oracle, tmp_path):
 
 
 def test_shuffle_encode_strategy_parity(spark, docs_pdf, docs_oracle, tmp_path):
-    """The single-shuffle whole-bucket encode strategy must produce
-    bit-identical query results to the default local-merge build."""
+    """The single-shuffle whole-bucket Arrow encode strategy must produce
+    bit-identical query results to the oracle (and hence to local-merge)."""
     d = str(tmp_path / "idx_se")
-    IndexBuilder(
+    b = IndexBuilder(
         spark, d, n_buckets=8, salt_chunks=2, strategy="shuffle-encode"
-    ).build(spark.createDataFrame(docs_pdf), input_token="se")
+    )
+    b.build(spark.createDataFrame(docs_pdf), input_token="se")
+    assert b.metrics["stage2_postings"]["strategy"] == "shuffle-encode"
     eng = SearchEngine(spark, d)
     run_parity(
         eng,
@@ -103,6 +105,28 @@ def test_shuffle_encode_strategy_parity(spark, docs_pdf, docs_oracle, tmp_path):
         ["license", "license AND parser", "2(parser, lexer, bloom)",
          "parser lexer bloom", "parser AND NOT bloom", "lang=python AND bloom"],
     )
+
+
+def test_auto_strategy_resolution(spark, docs_pdf, docs_oracle, tmp_path, monkeypatch):
+    """'auto' resolves to shuffle-encode when the estimated per-bucket bytes
+    fit the cap, and falls back to local-merge above it — with identical
+    query results either way (the guard is a physical-plan decision only)."""
+    d1 = str(tmp_path / "idx_auto_se")
+    b1 = IndexBuilder(spark, d1, n_buckets=8, salt_chunks=2)  # default: auto
+    b1.build(spark.createDataFrame(docs_pdf), input_token="auto1")
+    assert b1.metrics["stage2_postings"]["strategy"] == "shuffle-encode"
+    assert b1.metrics["stage2_postings"]["strategy_configured"] == "auto"
+
+    monkeypatch.setenv("SPARK_GRAFT_S2_MAX_BUCKET_BYTES", "1")  # force fallback
+    d2 = str(tmp_path / "idx_auto_lm")
+    b2 = IndexBuilder(spark, d2, n_buckets=8, salt_chunks=2)
+    b2.build(spark.createDataFrame(docs_pdf), input_token="auto2")
+    assert b2.metrics["stage2_postings"]["strategy"] == "local-merge"
+    for d in (d1, d2):
+        run_parity(
+            SearchEngine(spark, d), docs_oracle,
+            ["license", "parser lexer bloom", "license AND parser"],
+        )
 
 
 def test_resume_skips_completed_stages(spark, movies_pdf, tmp_path):
@@ -273,3 +297,13 @@ def test_conjunctive_pruning_reduces_decode(docs_engine):
     cut = eng._decode(pruned, None, rare_ids).count()
     assert cut < full
     assert cut == rare_ids.size or cut <= rare_ids.size  # only candidate rows
+
+
+def test_bmw_cross_term_pruning(docs_engine, docs_oracle):
+    """Cross-term BMW (one global threshold across the query's terms) must
+    keep top-k exact and record its decode-pruning stats (VERDICT r3 #7)."""
+    run_parity(docs_engine, docs_oracle, ["parser lexer bloom"], k=5)
+    stats = docs_engine.last_bmw
+    assert stats is not None
+    assert 0 < stats["blocks_kept"] <= stats["blocks_total"]
+    assert stats["theta"] > float("-inf")
