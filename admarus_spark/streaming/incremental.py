@@ -51,7 +51,6 @@ from ..index.build import (
     IndexPaths,
     _tokenize_tf_map,
 )
-from ..index.codec import block_max_saturation, encode_postings
 
 
 @dataclass
@@ -162,35 +161,6 @@ class IncrementalIndexer:
         tf = tf_all.filter(F.col("term") != MARKER_TERM)
         bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
         block_size = self.block_size
-
-        def encode_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (term,) = key
-            pdf = pdf.sort_values("doc_id", kind="mergesort")
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            tfs, dls = unpack_meta(pdf["meta"].to_numpy(np.int64))
-            enc = encode_postings(ids, tfs, dls, block_size)
-            starts = np.cumsum(np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64))))
-            bmax = block_max_saturation(tfs, dls, bm_avgdl, starts)
-            return pd.DataFrame(
-                [
-                    {
-                        "term": term,
-                        "df": int(ids.size),
-                        "ids": enc["ids_blob"],
-                        "tfs": enc["tfs_blob"],
-                        "dls": enc["dls_blob"],
-                        "block_firsts": enc["block_firsts"],
-                        "block_lasts": enc["block_lasts"],
-                        "block_lens": enc["block_lens"],
-                        "ids_offs": enc["ids_offs"],
-                        "tfs_offs": enc["tfs_offs"],
-                        "dls_offs": enc["dls_offs"],
-                        "block_max": bmax.tolist(),
-                    }
-                ]
-            )
-
-        new_posts = tf.groupBy("term").applyInPandas(encode_term, POSTINGS_SCHEMA)
         old = spark.read.parquet(paths.postings)
         if "block_lasts" not in old.columns:
             # fail FAST on legacy pre-r2 indexes (no per-block id bounds):
@@ -211,7 +181,61 @@ class IncrementalIndexer:
             n_buckets = int(n_b)
         else:  # legacy pre-r2 index: occupancy inference
             n_buckets = int(old.agg(F.max("tb")).collect()[0][0] or 0) + 1
-        new_posts = new_posts.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
+
+        # encode the delta's postings with ONE whole-partition pass per
+        # term-bucket group (the pandas twin of the full build's
+        # encode_bucket_arrow) — a per-TERM applyInPandas would pay Spark/
+        # Arrow group overhead x |delta vocabulary| (the anti-pattern the r3
+        # batched codec removed from the full build)
+        def encode_delta(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            terms_col = np.concatenate([p["term"].to_numpy() for p in pdfs])
+            if terms_col.size == 0:
+                return
+            ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in pdfs])
+            meta = np.concatenate([p["meta"].to_numpy(np.int64) for p in pdfs])
+            tbs = np.concatenate([p["tb"].to_numpy(np.int64) for p in pdfs])
+            codes, uniq = pd.factorize(terms_col, sort=False)
+            nuq = len(uniq)
+            if nuq < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
+                order = np.argsort((codes.astype(np.int64) << 41) | ids)
+            else:
+                order = np.lexsort((ids, codes))
+            codes_s, ids_s = codes[order], ids[order]
+            tfs_s, dls_s = unpack_meta(meta[order])
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(codes_s)) + 1))
+            from ..index.codec import encode_postings_many
+
+            cols = encode_postings_many(
+                ids_s, tfs_s, dls_s, starts, block_size, avgdl=bm_avgdl
+            )
+            yield pd.DataFrame(
+                {
+                    "term": np.asarray(uniq, dtype=object)[codes_s[starts]],
+                    "df": cols["df"],
+                    "ids": cols["ids"],
+                    "tfs": cols["tfs"],
+                    "dls": cols["dls"],
+                    "block_firsts": cols["block_firsts"],
+                    "block_lasts": cols["block_lasts"],
+                    "block_lens": cols["block_lens"],
+                    "ids_offs": cols["ids_offs"],
+                    "tfs_offs": cols["tfs_offs"],
+                    "dls_offs": cols["dls_offs"],
+                    "block_max": cols["block_max"],
+                    "tb": tbs[order][starts].astype(np.int32),
+                }
+            )
+
+        parallelism = spark.sparkContext.defaultParallelism
+        new_posts = (
+            tf.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)).cast("int"))
+            .repartition(max(1, min(parallelism, n_buckets)), "tb")
+            .mapInPandas(encode_delta, POSTINGS_SCHEMA + ", tb int")
+            .persist()  # consumed twice: affected-bucket collect + the merge
+        )
 
         # merge per term within affected buckets only: new ids > all old ids,
         # blocks are self-contained -> concatenation with offset shifts
@@ -239,6 +263,7 @@ class IncrementalIndexer:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        new_posts.unpersist()
 
         # append to doc_dict (per-doc length from the tokenize marker rows —
         # no groupBy; zero-token docs carry dl=0 markers)
@@ -396,46 +421,67 @@ class IncrementalIndexer:
         from ..index.codec import decode_postings
 
         def rewrite(batches):
+            """Whole-partition compaction pass: every term's blobs join into
+            ONE varint stream per column (blocks are self-contained), one
+            vectorized decode, one dead-id filter, one lexsort back to
+            canonical per-term sorted lists, one encode_postings_many —
+            per-term Python calls (~130 us each x the bucket vocabulary)
+            would otherwise dominate the sweep, exactly as they did in the
+            pre-r3 build stage."""
+            from ..index.codec import encode_postings_many
+
             dead_ids = bc_dead.value
             for pdf in batches:
-                rows = []
-                for r in pdf.itertuples():
-                    ids, tfs, dls = decode_postings(
-                        r.ids, r.tfs, r.dls, list(r.block_firsts), list(r.block_lens)
-                    )
-                    if ids.size and dead_ids.size:
-                        pos = np.searchsorted(dead_ids, ids)
-                        pos[pos == dead_ids.size] = dead_ids.size - 1
-                        keep = dead_ids[pos] != ids
-                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                    if ids.size == 0:
-                        continue  # the term's last doc died with the sweep
-                    o = np.argsort(ids, kind="stable")  # canonical sorted list
-                    ids, tfs, dls = ids[o], tfs[o], dls[o]
-                    enc = encode_postings(ids, tfs, dls, block_size)
-                    starts = np.cumsum(
-                        np.concatenate(([0], np.asarray(enc["block_lens"][:-1], np.int64)))
-                    )
-                    bmax = block_max_saturation(tfs, dls, avgdl, starts)
-                    rows.append(
-                        {
-                            "term": r.term,
-                            "df": int(ids.size),
-                            "ids": enc["ids_blob"],
-                            "tfs": enc["tfs_blob"],
-                            "dls": enc["dls_blob"],
-                            "block_firsts": enc["block_firsts"],
-                            "block_lasts": enc["block_lasts"],
-                            "block_lens": enc["block_lens"],
-                            "ids_offs": enc["ids_offs"],
-                            "tfs_offs": enc["tfs_offs"],
-                            "dls_offs": enc["dls_offs"],
-                            "block_max": bmax.tolist(),
-                            "tb": int(r.tb),
-                        }
-                    )
-                if rows:
-                    yield pd.DataFrame(rows)
+                n_rows = len(pdf)
+                if n_rows == 0:
+                    continue
+                firsts_all = np.concatenate(
+                    [np.asarray(x, np.int64) for x in pdf["block_firsts"]]
+                )
+                lens_all = np.concatenate(
+                    [np.asarray(x, np.int64) for x in pdf["block_lens"]]
+                )
+                ids_v, tfs_v, dls_v = decode_postings(
+                    b"".join(pdf["ids"]), b"".join(pdf["tfs"]), b"".join(pdf["dls"]),
+                    firsts_all, lens_all,
+                )
+                dfs_row = pdf["df"].to_numpy(np.int64)
+                value_row = np.repeat(np.arange(n_rows, dtype=np.int64), dfs_row)
+                if ids_v.size and dead_ids.size:
+                    pos = np.searchsorted(dead_ids, ids_v)
+                    pos[pos == dead_ids.size] = dead_ids.size - 1
+                    keep = dead_ids[pos] != ids_v
+                    ids_v, tfs_v, dls_v = ids_v[keep], tfs_v[keep], dls_v[keep]
+                    value_row = value_row[keep]
+                if ids_v.size == 0:
+                    continue  # every posting in this partition died
+                # canonical (term, doc_id) order; terms whose postings died
+                # entirely simply have no run and are dropped
+                order = np.lexsort((ids_v, value_row))
+                vr_s = value_row[order]
+                starts = np.concatenate(([0], np.flatnonzero(np.diff(vr_s)) + 1))
+                cols = encode_postings_many(
+                    ids_v[order], tfs_v[order], dls_v[order], starts, block_size,
+                    avgdl=avgdl,
+                )
+                rows_idx = vr_s[starts]
+                yield pd.DataFrame(
+                    {
+                        "term": pdf["term"].to_numpy()[rows_idx],
+                        "df": cols["df"],
+                        "ids": cols["ids"],
+                        "tfs": cols["tfs"],
+                        "dls": cols["dls"],
+                        "block_firsts": cols["block_firsts"],
+                        "block_lasts": cols["block_lasts"],
+                        "block_lens": cols["block_lens"],
+                        "ids_offs": cols["ids_offs"],
+                        "tfs_offs": cols["tfs_offs"],
+                        "dls_offs": cols["dls_offs"],
+                        "block_max": cols["block_max"],
+                        "tb": pdf["tb"].to_numpy(np.int64)[rows_idx].astype(np.int32),
+                    }
+                )
 
         post = spark.read.parquet(paths.postings)
         if "block_lasts" not in post.columns:
@@ -535,42 +581,75 @@ def _swap_dir(path: str, next_path: str) -> None:
 
 def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:
     """Per-term merge of old + new encoded postings (new ids strictly
-    greater): blob concat with byte-offset shifts, done as a grouped-map
-    over the union tagged by generation."""
+    greater): blob concat with byte-offset shifts.
+
+    Grouped per BUCKET, not per term: an affected bucket carries its whole
+    vocabulary through this merge, and a per-(term, tb) grouped-map would
+    pay Spark/Arrow group overhead x |bucket vocabulary| (10^4-10^5 groups
+    per bucket on realistic dictionaries — the r3 anti-pattern). Inside,
+    the single-generation terms (everything the delta did not touch — the
+    overwhelming majority) pass through without their blobs ever entering
+    Python; only delta-touched terms (bounded by the delta's vocabulary)
+    take the per-term concat loop."""
     o = old.withColumn("gen", F.lit(0))
     n = new.withColumn("gen", F.lit(1))
     both = o.unionByName(n)
+    keep_cols = [
+        "term", "df", "ids", "tfs", "dls", "block_firsts", "block_lasts",
+        "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
+    ]
 
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (term, tb) = key
-        pdf = pdf.sort_values("gen", kind="mergesort")
+    def merge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (tb,) = key
         from ..index.codec import merge_encoded_chunks
 
-        chunks = [
-            {
-                "ids_blob": r.ids, "tfs_blob": r.tfs, "dls_blob": r.dls,
-                "block_firsts": list(r.block_firsts), "block_lasts": list(r.block_lasts),
-                "block_lens": list(r.block_lens),
-                "ids_offs": list(r.ids_offs), "tfs_offs": list(r.tfs_offs),
-                "dls_offs": list(r.dls_offs),
-            }
-            for r in pdf.itertuples()
-        ]
-        m = merge_encoded_chunks(chunks)
-        bmax = [x for r in pdf.itertuples() for x in r.block_max]
-        return pd.DataFrame(
-            [
+        terms = pdf["term"].to_numpy()
+        order = np.lexsort((pdf["gen"].to_numpy(), terms))
+        terms_s = terms[order]
+        bounds = np.flatnonzero(terms_s[1:] != terms_s[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [terms_s.size]))
+        single = (ends - starts) == 1
+        frames = []
+        if single.any():
+            frames.append(pdf.iloc[order[starts[single]]][keep_cols])
+        merged_rows = []
+        for ti in np.flatnonzero(~single):
+            idxs = order[starts[ti] : ends[ti]]  # gen-ascending within term
+            sub = pdf.iloc[idxs]
+            chunks = [
                 {
-                    "term": term,
-                    "df": int(pdf["df"].sum()),
+                    "ids_blob": r.ids, "tfs_blob": r.tfs, "dls_blob": r.dls,
+                    "block_firsts": list(r.block_firsts),
+                    "block_lasts": list(r.block_lasts),
+                    "block_lens": list(r.block_lens),
+                    "ids_offs": list(r.ids_offs), "tfs_offs": list(r.tfs_offs),
+                    "dls_offs": list(r.dls_offs),
+                }
+                for r in sub.itertuples()
+            ]
+            m = merge_encoded_chunks(chunks)
+            merged_rows.append(
+                {
+                    "term": terms_s[starts[ti]],
+                    "df": int(sub["df"].sum()),
                     "ids": m["ids_blob"], "tfs": m["tfs_blob"], "dls": m["dls_blob"],
-                    "block_firsts": m["block_firsts"], "block_lasts": m["block_lasts"],
+                    "block_firsts": m["block_firsts"],
+                    "block_lasts": m["block_lasts"],
                     "block_lens": m["block_lens"],
                     "ids_offs": m["ids_offs"], "tfs_offs": m["tfs_offs"],
-                    "dls_offs": m["dls_offs"], "block_max": bmax,
-                    "tb": int(tb),
+                    "dls_offs": m["dls_offs"],
+                    "block_max": [x for r in sub.itertuples() for x in r.block_max],
                 }
-            ]
+            )
+        if merged_rows:
+            frames.append(pd.DataFrame(merged_rows)[keep_cols])
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0].reset_index(drop=True)
         )
+        out["tb"] = int(tb)
+        return out
 
-    return both.groupBy("term", "tb").applyInPandas(merge, POSTINGS_SCHEMA + ", tb int")
+    return both.groupBy("tb").applyInPandas(merge_bucket, POSTINGS_SCHEMA + ", tb int")
