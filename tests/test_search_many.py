@@ -6,6 +6,10 @@ QUERIES = {
     "quick_or": "parser lexer bloom",
     "nofm": "2(parser, lexer, bloom)",
     "notq": "parser AND NOT bloom",
+    # metadata filter in a NOT subtree: stays on the BATCHED path (no
+    # positive filter) but forces the needs_meta doc_dict join + the fold's
+    # meta_exprs inside the exploded per-query struct projection
+    "not_meta": "parser AND NOT lang=python",
     "rare": "rareterm000063z",
     "meta": "lang=python AND bloom",      # positive filter -> exact fallback
     "pure_meta": "lang=python",           # filter-only candidates -> fallback
