@@ -216,11 +216,136 @@ def neardup_pairs_exact(
     )
 
 
+# ----------------------------------------------------------------------
+NB_CELLS = 8
+NPROBE = 2
+
+_SQ_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: cell = argmin_c L2²(v, centroid_c), with
+    deterministic data-derived centroids (the vectors of vec ids
+    1..NB_CELLS — like the LSH planes, chosen so both engines share exact
+    centroid bits; k-means TRAINING is an offline concern, and each Lloyd
+    iteration is the same plan shape: broadcast centroids → assign →
+    groupBy mean). Ties on the rounded distance break to the smallest
+    centroid id via a lexicographic struct-min — identical to the oracle's
+    (d2_r, c) row_number order.
+
+    Scale shape: centroids broadcast (NB_CELLS rows); assignment is one
+    scan + whole-stage-codegen fold per vector; the result is the
+    inverted-file layout — store/partition the corpus BY cell and a probe
+    becomes partition pruning, the same physical trick as the postings
+    term-bucket."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NB_CELLS)).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    d = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d2_r", F.round(_l2sq(F.col("v"), F.col("cv")), 9)
+    )
+    best = d.groupBy("vec_id").agg(F.min(F.struct(F.col("d2_r"), F.col("c"))).alias("m"))
+    return best.select("vec_id", F.col("m.c").alias("cell"))
+
+
+IVF_CELLS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {NB_CELLS}),
+d AS (
+  SELECT e.vec_id, cents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_SQ_DUCK.format(a='e.v', b='cents.cv')}, 9) ASC, cents.c ASC
+         ) AS rn
+  FROM e, cents
+)
+SELECT vec_id, c AS cell FROM d WHERE rn = 1
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probe the NPROBE cells whose centroids are nearest
+    the query vector, then exact cosine top-k over ONLY those cells'
+    members — the classic inverted-file search. Candidates shrink
+    ~NB_CELLS/NPROBE-fold; recall is traded for bounded work, and the
+    oracle applies the identical probe so the comparison is exact.
+
+    At 10^12 vectors: centroids number ~sqrt(n) and stay broadcastable,
+    the corpus table is written partitioned by cell, and this plan's
+    probe join becomes partition pruning — candidates stream from NPROBE
+    partitions, never a full scan."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NB_CELLS)).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    cells = ivf_cells(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d2_r", F.round(_l2sq(F.col("cv"), F.col("qv")), 9))
+        .orderBy(F.asc("d2_r"), F.asc("c"))
+        .limit(NPROBE)
+        .select(F.col("c").alias("cell"))
+    )
+    return (
+        e.join(cells, "vec_id")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {NB_CELLS}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT e.vec_id, cents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_SQ_DUCK.format(a='e.v', b='cents.cv')}, 9) ASC, cents.c ASC
+         ) AS rn
+  FROM e, cents
+),
+cells AS (SELECT vec_id, c AS cell FROM d WHERE rn = 1),
+probe AS (
+  SELECT c AS cell FROM cents, q
+  ORDER BY round({_SQ_DUCK.format(a='cents.cv', b='q.qv')}, 9) ASC, c ASC
+  LIMIT {NPROBE}
+)
+SELECT e.vec_id AS vec_id, round({_cos_duck('e.v', 'q.qv')}, 6) AS sim_r
+FROM e
+JOIN cells ON e.vec_id = cells.vec_id
+JOIN probe ON cells.cell = probe.cell
+CROSS JOIN q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_buckets": lsh_buckets,
     "sim_lsh_topk": lsh_topk,
     "sim_neardup_pairs": neardup_pairs,
+    "sim_ivf_cells": ivf_cells,
+    "sim_ivf_topk": ivf_topk,
 }
 
 ORACLES = {
@@ -228,4 +353,6 @@ ORACLES = {
     "sim_lsh_buckets": LSH_BUCKETS_SQL,
     "sim_lsh_topk": LSH_TOPK_SQL,
     "sim_neardup_pairs": NEARDUP_SQL,
+    "sim_ivf_cells": IVF_CELLS_SQL,
+    "sim_ivf_topk": IVF_TOPK_SQL,
 }
