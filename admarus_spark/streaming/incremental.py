@@ -242,27 +242,33 @@ class IncrementalIndexer:
         affected = sorted(
             r["tb"] for r in new_posts.select("tb").distinct().collect()
         )
-        old_aff = old.filter(F.col("tb").isin(affected))
-        merged = _concat_postings(old_aff, new_posts)
+        if affected:
+            old_aff = old.filter(F.col("tb").isin(affected))
+            merged = _concat_postings(old_aff, new_posts)
 
-        # dynamic partition overwrite is scoped to THIS write: a session-wide
-        # set-and-forget would make a later full rebuild into the same
-        # index_dir leave stale tb partitions from the previous build on disk
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.repartition(len(affected), "tb")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("tb")
-                .parquet(paths.postings)
-            )
-        finally:
-            if prev_mode is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            # dynamic partition overwrite is scoped to THIS write: a
+            # session-wide set-and-forget would make a later full rebuild
+            # into the same index_dir leave stale tb partitions from the
+            # previous build on disk
+            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    merged.repartition(len(affected), "tb")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .partitionBy("tb")
+                    .parquet(paths.postings)
+                )
+            finally:
+                if prev_mode is None:
+                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+                else:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # else: every new doc tokenized to nothing (sub-3-char content) —
+        # postings untouched; repartition(0) on the empty merge would raise.
+        # The docs still enter doc_dict below with doc_len 0 (their marker
+        # rows), exactly like zero-token docs in a full build.
         new_posts.unpersist()
 
         # append to doc_dict (per-doc length from the tokenize marker rows —

@@ -247,3 +247,45 @@ def test_incremental_meta_bloom_covers_delta_values(spark, inc_setup):
     assert words
     for w in sorted(words):
         assert filter_get(eng.meta_bloom, w), w
+
+
+def test_zero_token_delta_is_safe(spark, tmp_path):
+    """A delta whose new docs all tokenize to nothing (sub-3-char content)
+    must not touch postings (affected buckets = [], which used to hit
+    repartition(0)) while still registering the docs with doc_len 0."""
+    import hashlib
+
+    base = make_docs_corpus(60, seed=7)
+    d = str(tmp_path / "idx_zero")
+    IndexBuilder(spark, d, n_buckets=8, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="zero-base"
+    )
+    eng0 = SearchEngine(spark, d)
+    before = [(r["doc_id"], r["score"]) for r in eng0.search("license", 10).collect()]
+
+    delta = pd.DataFrame(
+        {
+            "repo": ["zr"] * 3,
+            "path": [f"z/{i}" for i in range(3)],
+            "commit": ["c" * 40] * 3,
+            "lang": ["python"] * 3,
+            "content": ["a b c", "x y", ""],
+        }
+    )
+    delta["content_sha256"] = delta["content"].map(
+        lambda s: hashlib.sha256(s.encode()).hexdigest()
+    )
+    m = IncrementalIndexer(spark, d).update(spark.createDataFrame(delta), "zero-delta")
+    assert m["rows_new"] == 3
+    assert m["affected_buckets"] == []
+    eng = SearchEngine(spark, d)
+    assert eng.n_docs == len(base) + 3
+    # scores legitimately shift (n_docs/avgdl grew): compare against the
+    # oracle over the union corpus, zero-token docs included
+    union = pd.concat([base, delta], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    got = path_scores(eng.search("license", 10**6))
+    want = sorted((opaths[i], s) for i, s in oracle.search("license", 10**6))
+    assert got == want
+    assert before  # base search sanity (non-empty)
