@@ -99,13 +99,16 @@ def _tokenize_tf_map(batches):
         toks = tokenize_series(pdf["content"])
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
         total = int(lens.sum())
-        # pack_meta packs dl into 32 bits (tf <= dl gets 31): a pathological
-        # multi-billion-token doc would otherwise corrupt tf/dl silently
-        # (ADVICE r3). Cheap per-batch max, loud failure.
-        if len(lens) and int(lens.max()) >= (1 << 32):
+        # pack_meta needs tf < 2^31 (tf<<32 into a SIGNED int64) and dl <
+        # 2^32; since tf <= dl, gating dl at 2^31 covers both — the old
+        # 2^32 gate let a doc of 2^31..2^32 repeats of one token through
+        # with tf >= 2^31, sign-corrupting meta silently (ADVICE r4).
+        # Cheap per-batch max, loud failure.
+        if len(lens) and int(lens.max()) >= (1 << 31):
             raise ValueError(
-                f"document length {int(lens.max())} exceeds the 2^32 token "
-                "pack_meta bound — split the document or widen the tf schema"
+                f"document length {int(lens.max())} exceeds the 2^31 token "
+                "pack_meta bound (tf<<32 must stay within a signed int64) — "
+                "split the document or widen the tf schema"
             )
         doc_ids = pdf["doc_id"].to_numpy()
         markers = pd.DataFrame(
@@ -422,6 +425,24 @@ def _postings_arrow_schema():
     )
 
 
+TID_POSTINGS_SCHEMA = (
+    "tid long, df long, ids binary, tfs binary, dls binary, "
+    "block_firsts array<long>, block_lasts array<long>, block_lens array<int>, "
+    "ids_offs array<long>, tfs_offs array<long>, dls_offs array<long>, "
+    "block_max array<double>, tb int"
+)
+
+
+def _tid_postings_arrow_schema():
+    """PyArrow twin of ``TID_POSTINGS_SCHEMA``: the tid-keyed intermediate of
+    the shuffle-encode path — term STRINGS never cross into Python; the final
+    term column comes from a broadcast dictionary join on ``tid``."""
+    import pyarrow as pa
+
+    base = _postings_arrow_schema()
+    return pa.schema([pa.field("tid", pa.int64())] + [base.field(i) for i in range(1, len(base))])
+
+
 @dataclass
 class IndexPaths:
     index_dir: str
@@ -452,12 +473,15 @@ class IndexBuilder:
     spark: SparkSession
     index_dir: str
     n_buckets: int = 32          # postings partition buckets (term-hash)
-    # 'auto' (default): 'shuffle-encode' when the estimated per-bucket raw
-    #   bytes fit a single worker (see _stage2_inner guard), else
-    #   'local-merge'. 'shuffle-encode': raw tf shuffled once by term
-    #   bucket (identity-routed, one bucket per partition), ONE Arrow-native
-    #   whole-bucket encode — no chunk fragments, no merge stage, a single
-    #   Python crossing for all of stage 2. 'local-merge': per-partition
+    # 'auto' (default): 'shuffle-encode' when the LARGEST bucket's raw bytes
+    #   (exact, from the stage-2a dictionary pass; mean-estimate pre-gate
+    #   first) fit a single worker, else 'local-merge'. 'shuffle-encode':
+    #   raw tf shuffled once by term bucket (identity-routed, one bucket per
+    #   partition) as (tid, doc_id, meta) int64 rows — term strings swapped
+    #   for dense dictionary ids by a broadcast map-join before the exchange
+    #   and restored on the per-term output rows after it — then ONE
+    #   Arrow-native whole-bucket encode: no chunk fragments, no merge
+    #   stage, a single string-free Python crossing. 'local-merge': per-partition
     #   local index -> compressed-blob shuffle -> per-bucket merge (per-task
     #   memory bounded by partition size — the fallback when a bucket
     #   outgrows one worker). 'salted-groupby': explicit df-driven hot-term
@@ -678,6 +702,103 @@ class IndexBuilder:
                 else:
                     spark.conf.set(k, v)
 
+    def _build_term_dict(self, tf: DataFrame, n_buckets: int) -> dict:
+        """Stage-2a term dictionary: dense int64 term ids ordered by
+        (bucket, term), plus exact per-bucket posting counts.
+
+        Why a dictionary at all: the raw-tf exchange is the build's single
+        big shuffle, and on a realistic (Heaps-law) vocabulary the UTF-8
+        term column dominates its bytes — an UnsafeRow string costs an
+        8-byte offset/len slot PLUS the 8-byte-padded bytes, vs one 8-byte
+        slot for an id. Shuffling ``(tid, doc_id, meta)`` cuts the
+        exchanged row by ~1/3 uncompressed, and — just as important for
+        multi-core scaling — keeps term strings out of the Arrow→NumPy
+        encode entirely (per-string handling was the measured
+        memory-bandwidth hot spot of stage 2; see BENCH/BASELINE.md).
+
+        Mechanics: one column-pruned scan of tf yields (term, df) via a
+        map-side-combined groupBy (shuffle bytes bounded by vocabulary, not
+        postings); tids are assigned as the lexicographic rank within each
+        term-hash bucket plus the bucket's cumulative offset — fully
+        distributed (identity-routed bucket shuffle + per-partition
+        counters), no single-task rank. The per-bucket df sums come from
+        the same pass and give the EXACT largest-bucket bytes for the
+        'auto' memory guard (the old cross-bucket MEAN under-estimated a
+        skewed vocabulary by up to n_buckets×, ADVICE r4).
+
+        The dictionary is broadcast (driver-collected) for the tf-side map
+        join: vocabulary grows ~Heaps-sublinearly with the corpus, and the
+        SPARK_GRAFT_S2_MAX_DICT_TERMS gate (default 20M terms ≈ a few
+        hundred MB broadcast) falls back to the legacy string-shuffle path
+        above it rather than OOM-ing the driver.
+
+        Returns {dict_df (persisted — caller unpersists), boffs, n_vocab,
+        max_bucket_rows, seconds}."""
+        spark = self.spark
+        t0 = time.time()
+        from ..murmur import identity_partition_keys
+
+        vocab = (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)).cast("int"))
+            .persist()
+        )
+        bucket_rows = (
+            vocab.groupBy("tb")
+            .agg(F.count("*").alias("n_terms"), F.sum("df").alias("rows"))
+            .collect()
+        )
+        n_terms_b = {int(r["tb"]): int(r["n_terms"]) for r in bucket_rows}
+        rows_b = {int(r["tb"]): int(r["rows"]) for r in bucket_rows}
+        boffs = np.zeros(n_buckets + 1, dtype=np.int64)
+        for tb in range(n_buckets):
+            boffs[tb + 1] = boffs[tb] + n_terms_b.get(tb, 0)
+        route_keys = np.asarray(identity_partition_keys(n_buckets), dtype=np.int64)
+        bc = spark.sparkContext.broadcast((boffs, route_keys))
+
+        def assign(batches):
+            # partition stream arrives whole-partition-sorted by (tb, term);
+            # per-tb running counters carry ranks across Arrow batches
+            boffs_l, rk = bc.value
+            counters: dict[int, int] = {}
+            for pdf in batches:
+                tbs = pdf["tb"].to_numpy()
+                tid = np.empty(len(pdf), np.int64)
+                for tb in np.unique(tbs):
+                    m = tbs == tb
+                    start = counters.get(int(tb), int(boffs_l[tb]))
+                    cnt = int(m.sum())
+                    tid[m] = np.arange(start, start + cnt, dtype=np.int64)
+                    counters[int(tb)] = start + cnt
+                yield pd.DataFrame(
+                    {
+                        "term": pdf["term"],
+                        "tid": tid,
+                        "pk": rk[tbs].astype(np.int32),
+                    }
+                )
+
+        route = F.element_at(
+            F.array(*[F.lit(int(j)) for j in route_keys.tolist()]), F.col("tb") + 1
+        )
+        dict_df = (
+            vocab.withColumn("pk", route)
+            .repartition(n_buckets, "pk")
+            .sortWithinPartitions("tb", "term")
+            .mapInPandas(assign, "term string, tid long, pk int")
+            .persist()
+        )
+        n_vocab = dict_df.count()  # materialize before vocab unpersists
+        vocab.unpersist()
+        return {
+            "dict_df": dict_df,
+            "boffs": boffs,
+            "n_vocab": int(n_vocab),
+            "max_bucket_rows": max(rows_b.values(), default=0),
+            "seconds": time.time() - t0,
+        }
+
     def _stage2_inner(self, paths: IndexPaths, lineage: dict, t0: float) -> None:
         spark = self.spark
         stats = spark.read.parquet(paths.stats).collect()[0]
@@ -685,22 +806,6 @@ class IndexBuilder:
         chunk_span = max(1, math.ceil(n_docs / self.salt_chunks))
         block_size = self.block_size
         n_buckets = self.n_buckets
-
-        # 'auto' resolution + memory guard for the whole-bucket encode: one
-        # worker holds ONE bucket's raw rows plus NumPy temporaries, so gate
-        # on a conservative upper bound of the bucket's raw bytes
-        # (total_tokens bounds the tf row count; ~48 B/row covers ids + meta
-        # + term bytes). Above the cap, local-merge bounds per-task memory
-        # by PARTITION size instead of bucket size. The bound also covers
-        # the one-term-dwarfs-its-bucket case (a term's rows are a subset of
-        # its bucket's). At corpus scale n_buckets grows with the data (the
-        # bucket is the shard unit), keeping buckets under the cap.
-        strategy = self.strategy
-        if strategy == "auto":
-            cap = int(os.environ.get("SPARK_GRAFT_S2_MAX_BUCKET_BYTES", str(4 << 30)))
-            est_bucket_bytes = int(stats["total_tokens"] or 0) * 48 // max(1, n_buckets)
-            strategy = "shuffle-encode" if est_bucket_bytes <= cap else "local-merge"
-        self._resolved_strategy = strategy
 
         # coalesce the tf scan to ~2 partitions per core: the global 4MB
         # split size (right for content scans) would shred tf into hundreds
@@ -717,6 +822,36 @@ class IndexBuilder:
             .coalesce(max(16, parallelism * 2))
             .filter(F.col("term") != MARKER_TERM)
         )
+
+        # 'auto' resolution + memory guard for the whole-bucket encode: one
+        # worker holds ONE bucket's raw rows plus NumPy temporaries
+        # (~48 B/row bounds ids + meta + sort/order temporaries). The gate
+        # is EXACT: a cheap mean-estimate pre-check skips the dictionary
+        # jobs when even the AVERAGE bucket exceeds the cap; otherwise the
+        # stage-2a dictionary pass (needed by shuffle-encode anyway) yields
+        # the true LARGEST bucket's posting count — a skewed vocabulary can
+        # exceed the mean by up to n_buckets×, so gating on the mean could
+        # pick shuffle-encode and then OOM one whole-bucket encode (ADVICE
+        # r4). Above the cap, local-merge bounds per-task memory by
+        # PARTITION size instead of bucket size. At corpus scale n_buckets
+        # grows with the data (the bucket is the shard unit), keeping
+        # buckets under the cap.
+        strategy = self.strategy
+        dict_info: dict | None = None
+        cap = int(os.environ.get("SPARK_GRAFT_S2_MAX_BUCKET_BYTES", str(4 << 30)))
+        if strategy in ("auto", "shuffle-encode"):
+            mean_est = int(stats["total_tokens"] or 0) * 48 // max(1, n_buckets)
+            if strategy == "auto" and mean_est > cap:
+                strategy = "local-merge"
+            else:
+                dict_info = self._build_term_dict(tf, n_buckets)
+                if strategy == "auto":
+                    max_bucket_bytes = dict_info["max_bucket_rows"] * 48
+                    strategy = (
+                        "shuffle-encode" if max_bucket_bytes <= cap else "local-merge"
+                    )
+        self._resolved_strategy = strategy
+
         hot_terms: list[str] = []
         if strategy == "salted-groupby":
             # hot iff a single-task encode would exceed ~2 salt chunks of docs
@@ -903,6 +1038,79 @@ class IndexBuilder:
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=_postings_arrow_schema())
 
+        dict_boffs = dict_info["boffs"] if dict_info is not None else None
+
+        def encode_bucket_tid(batches):
+            """shuffle-encode with the stage-2a term dictionary: the shuffle
+            ships (tid, doc_id, meta) — three fixed-width int64 columns, NO
+            term strings — and this pass is pure NumPy over fixed-width
+            arrays: no ``dictionary_encode``, no string gather, no Python
+            string objects at any point (the r4 profile pinned stage 2's
+            scaling ceiling on memory bandwidth, and the UTF-8 term column
+            dominated both the shuffled bytes and the Arrow→NumPy transfer).
+            The output is keyed by ``tid``; the term column is restored by a
+            broadcast dictionary join on the few per-TERM rows downstream.
+
+            ``tb`` is derived from tid via the bucket-offset table (tids are
+            assigned bucket-contiguously), NOT from the partition id — the
+            output stays correct even if a future planner change breaks the
+            one-bucket-per-partition routing (only performance would
+            degrade, never the rows)."""
+            import pyarrow as pa
+
+            bl = [b for b in batches if b.num_rows]
+            if not bl:
+                return
+            tbl = pa.Table.from_batches(bl)
+            tids = np.ascontiguousarray(tbl.column("tid").to_numpy(), dtype=np.int64)
+            ids = np.ascontiguousarray(tbl.column("doc_id").to_numpy(), dtype=np.int64)
+            meta = np.ascontiguousarray(tbl.column("meta").to_numpy(), dtype=np.int64)
+            tmin = int(tids.min())
+            codes = tids - tmin  # bucket-local span (tids bucket-contiguous)
+            span = int(codes.max()) + 1
+            # (term, doc_id) sort via one composite int64 key when both fit
+            # (span < 2^22, ids < 2^41 — up to 2T docs), else lexsort. The
+            # (doc, term) pairs are unique -> key unique -> the default
+            # (unstable, faster) sort is deterministic.
+            if span < (1 << 22) and (ids.size == 0 or int(ids.max()) < (1 << 41)):
+                order = np.argsort((codes << 41) | ids)
+            else:
+                order = np.lexsort((ids, tids))
+            tids_s, ids_s = tids[order], ids[order]
+            tfs_s, dls_s = unpack_meta(meta[order])
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(tids_s)) + 1))
+            cols = encode_postings_many(
+                ids_s, tfs_s, dls_s, starts, block_size, avgdl=avgdl, flat=True
+            )
+            rep_tids = tids_s[starts]
+            tb_arr = (np.searchsorted(dict_boffs, rep_tids, side="right") - 1).astype(
+                np.int32
+            )
+            boffs = pa.array(
+                np.concatenate(([0], np.cumsum(cols["nb"]))).astype(np.int32),
+                type=pa.int32(),
+            )
+
+            def _list(vals, typ):
+                return pa.ListArray.from_arrays(boffs, pa.array(vals, type=typ))
+
+            arrays = [
+                pa.array(rep_tids, type=pa.int64()),
+                pa.array(cols["df"], type=pa.int64()),
+                pa.array(cols["ids"], type=pa.binary()),
+                pa.array(cols["tfs"], type=pa.binary()),
+                pa.array(cols["dls"], type=pa.binary()),
+                _list(cols["block_firsts"], pa.int64()),
+                _list(cols["block_lasts"], pa.int64()),
+                _list(cols["block_lens"], pa.int32()),
+                _list(cols["ids_offs"], pa.int64()),
+                _list(cols["tfs_offs"], pa.int64()),
+                _list(cols["dls_offs"], pa.int64()),
+                _list(cols["block_max"], pa.float64()),
+                pa.array(tb_arr, type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_tid_postings_arrow_schema())
+
         if strategy == "salted-groupby":
             cold_tf = tf.filter(~F.col("term").isin(hot_terms)) if hot_terms else tf
             cold = cold_tf.groupBy("term").applyInPandas(encode_whole, POSTINGS_SCHEMA)
@@ -1013,28 +1221,62 @@ class IndexBuilder:
             merged = merged.withColumn("tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)))
             merged = merged.repartition(n_buckets, "tb")
         elif strategy == "shuffle-encode":
-            # ONE shuffle of the raw tf stream: tb is computed JVM-side
-            # (codegen), then routed through identity-partition probe keys so
-            # each bucket lands whole — and ALONE — in its shuffle partition.
-            # This replaces repartitionByRange (which pays a sampling pass
-            # over the child plan, i.e. a second tf scan) and plain hash
-            # repartition (balls-in-bins collisions put 2-4 buckets in one
-            # partition — a straggler at one-wave parallelism).
-            from ..murmur import identity_partition_keys
-
-            route = F.element_at(
-                F.array(*[F.lit(int(j)) for j in identity_partition_keys(n_buckets)]),
-                F.col("tb") + 1,
-            )
-            merged = (
-                tf.withColumn(
-                    "tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)).cast("int")
+            # ONE shuffle of the raw tf stream, routed through identity-
+            # partition probe keys so each bucket lands whole — and ALONE —
+            # in its shuffle partition. This replaces repartitionByRange
+            # (which pays a sampling pass over the child plan, i.e. a second
+            # tf scan) and plain hash repartition (balls-in-bins collisions
+            # put 2-4 buckets in one partition — a straggler at one-wave
+            # parallelism).
+            #
+            # Default (tid path): a broadcast map-join swaps the term string
+            # for its dense dictionary id BEFORE the exchange, so the
+            # shuffled row is (tid, doc_id, meta, pk) — four 8-byte slots,
+            # ~1/3 fewer uncompressed bytes than with the UTF-8 term column,
+            # and the whole-bucket encode becomes string-free (VERDICT r4
+            # #1: shuffled bytes, not CPU, capped build scaling). The term
+            # column is restored on the per-TERM output rows (|vocabulary|
+            # rows, not |postings|) by a second broadcast join. Above the
+            # dictionary-size gate the legacy string-shuffle path keeps the
+            # build working without a driver-sized broadcast.
+            dict_cap = int(os.environ.get("SPARK_GRAFT_S2_MAX_DICT_TERMS", 20_000_000))
+            use_tid = dict_info is not None and dict_info["n_vocab"] <= dict_cap
+            self._tid_dict_used = use_tid
+            if use_tid:
+                dict_df = dict_info["dict_df"]
+                merged_tid = (
+                    tf.join(F.broadcast(dict_df), "term")
+                    .select("tid", "doc_id", "meta", "pk")
+                    .repartition(n_buckets, "pk")
+                    .drop("pk")
+                    .mapInArrow(encode_bucket_tid, TID_POSTINGS_SCHEMA)
                 )
-                .withColumn("pk", route)
-                .repartition(n_buckets, "pk")
-                .drop("pk")
-                .mapInArrow(encode_bucket_arrow, POSTINGS_SCHEMA + ", tb int")
-            )
+                merged = (
+                    merged_tid.join(F.broadcast(dict_df.select("tid", "term")), "tid")
+                    .select(
+                        "term", "df", "ids", "tfs", "dls", "block_firsts",
+                        "block_lasts", "block_lens", "ids_offs", "tfs_offs",
+                        "dls_offs", "block_max", "tb",
+                    )
+                )
+            else:
+                from ..murmur import identity_partition_keys
+
+                route = F.element_at(
+                    F.array(
+                        *[F.lit(int(j)) for j in identity_partition_keys(n_buckets)]
+                    ),
+                    F.col("tb") + 1,
+                )
+                merged = (
+                    tf.withColumn(
+                        "tb", F.pmod(F.hash(F.col("term")), F.lit(n_buckets)).cast("int")
+                    )
+                    .withColumn("pk", route)
+                    .repartition(n_buckets, "pk")
+                    .drop("pk")
+                    .mapInArrow(encode_bucket_arrow, POSTINGS_SCHEMA + ", tb int")
+                )
         else:
             # local-merge: assign tb BEFORE the merge so ONE shuffle both
             # co-locates each term's chunks and lands them in their final
@@ -1054,6 +1296,9 @@ class IndexBuilder:
         )
         t_write = time.time() - t_w0
 
+        if dict_info is not None:
+            dict_info["dict_df"].unpersist()
+
         t_s0 = time.time()
         post = spark.read.parquet(paths.postings)
         rows = post.groupBy("tb").agg(
@@ -1064,11 +1309,20 @@ class IndexBuilder:
         t_stats = time.time() - t_s0
         per_bucket = {int(r["tb"]): int(r["cnt"]) for r in rows}
         lineage["buckets"] = per_bucket
+        dict_metrics = {}
+        if dict_info is not None:
+            dict_metrics = {
+                "n_vocab": dict_info["n_vocab"],
+                "max_bucket_rows": dict_info["max_bucket_rows"],
+                "dict_sec": round(dict_info["seconds"], 2),
+                "tid_dict": bool(getattr(self, "_tid_dict_used", False)),
+            }
         ckpt.write_stage(
             self.index_dir,
             "stage2_postings",
             lineage,
             {
+                **dict_metrics,
                 # the routing modulus, persisted explicitly: the engine and
                 # incremental updater must NOT infer it from occupied buckets
                 # (a trailing zero-term bucket writes no partition row)

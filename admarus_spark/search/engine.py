@@ -128,6 +128,12 @@ class SearchEngine:
         # has df at or below this (its ids are decoded driver-side and
         # shipped in the decode closure — ~8 bytes/doc)
         self.and_prune_max_df = 100_000
+        # cross-term BMW θ-probing fetches whole posting blobs to the driver
+        # (blob columns are not block-sliceable in a collect); cap the fetch
+        # so a pathologically hot term cannot ship a multi-GB blob per query
+        # — above the cap BMW returns None and the executor-side per-term
+        # greedy (no driver fetch) takes over (ADVICE r4)
+        self.bmw_max_term_df = int(os.environ.get("SPARK_GRAFT_BMW_MAX_DF", 2_000_000))
         # persisted intermediates from the previous search_many/_finish call;
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
@@ -485,9 +491,15 @@ class SearchEngine:
 
         Returns {term: bool keep-mask} or None when not applicable (a term
         split across multiple postings rows — legacy/mid-compaction layout —
-        where row-aligned masks cannot be keyed by term alone). Stats land
-        in ``self.last_bmw`` for plan evidence."""
-        meta = pruned.select("term", "block_lens", "block_max").collect()
+        where row-aligned masks cannot be keyed by term alone; or a term
+        whose blob exceeds the driver-fetch cap ``bmw_max_term_df``; or the
+        θ probe loop exhausting its block budget — which happens exactly
+        when the corpus matches fewer than k distinct docs, where decoding
+        every block driver-side AND executor-side would double the work).
+        Stats land in ``self.last_bmw`` for plan evidence."""
+        if any(df_map[t] > self.bmw_max_term_df for t in df_map):
+            return None
+        meta = pruned.select("term", "block_max").collect()
         by_term: dict[str, object] = {}
         for r in meta:
             if r["term"] in by_term:
@@ -506,13 +518,21 @@ class SearchEngine:
         if not flat:
             return None
         flat.sort(key=lambda x: (-x[0], x[1], x[2]))
-        # establish θ: decode highest-ub blocks until k distinct docs seen
+        # establish θ: decode highest-ub blocks until k distinct docs seen.
+        # The probe loop is budgeted: a corpus matching fewer than k distinct
+        # docs would otherwise decode EVERY block of every term driver-side
+        # only to produce all-True masks (ADVICE r4)
         best: dict[int, float] = {}
         blob_cache: dict[str, object] = {}
         theta = -np.inf
+        probe_budget = max(64, 4 * k)
+        probes = 0
         for ub, t, bi in flat:
             if len(best) >= k:
                 break
+            probes += 1
+            if probes > probe_budget:
+                return None
             row = blob_cache.get(t)
             if row is None:
                 row = (

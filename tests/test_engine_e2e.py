@@ -107,6 +107,75 @@ def test_shuffle_encode_strategy_parity(spark, docs_pdf, docs_oracle, tmp_path):
     )
 
 
+def test_tid_dict_parity_with_string_path(spark, docs_pdf, docs_oracle, tmp_path, monkeypatch):
+    """The tid-dictionary shuffle (default) and the legacy string-shuffle
+    fallback must produce the SAME postings table — identical per-term blobs
+    and block metadata — and identical query results. Forces the fallback by
+    zeroing the dictionary-size gate."""
+    d1 = str(tmp_path / "idx_tid")
+    b1 = IndexBuilder(spark, d1, n_buckets=8, strategy="shuffle-encode")
+    b1.build(spark.createDataFrame(docs_pdf), input_token="tid")
+    assert b1.metrics["stage2_postings"]["tid_dict"] is True
+
+    monkeypatch.setenv("SPARK_GRAFT_S2_MAX_DICT_TERMS", "0")
+    d2 = str(tmp_path / "idx_str")
+    b2 = IndexBuilder(spark, d2, n_buckets=8, strategy="shuffle-encode")
+    b2.build(spark.createDataFrame(docs_pdf), input_token="str")
+    assert b2.metrics["stage2_postings"]["tid_dict"] is False
+
+    cols = [
+        "term", "df", "ids", "tfs", "dls", "block_firsts", "block_lasts",
+        "block_lens", "ids_offs", "tfs_offs", "dls_offs", "tb",
+    ]
+
+    def snapshot(d):
+        rows = spark.read.parquet(d + "/postings").select(*cols).collect()
+        return sorted(
+            (tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray)) else
+                   (tuple(r[c]) if isinstance(r[c], list) else r[c]) for c in cols))
+            for r in rows
+        )
+
+    assert snapshot(d1) == snapshot(d2)
+    run_parity(
+        SearchEngine(spark, d2), docs_oracle,
+        ["license", "license AND parser", "parser lexer bloom"],
+    )
+
+
+def test_auto_guard_uses_largest_bucket(spark, tmp_path, monkeypatch):
+    """The 'auto' memory guard must gate on the LARGEST bucket, not the
+    cross-bucket mean (ADVICE r4): with a cap between the two, a skewed
+    vocabulary (every doc shares one hot term) must fall back to
+    local-merge even though the mean estimate fits."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "repo": "skew", "path": f"f{i:04d}.py", "commit": "c0",
+                "lang": "python", "content": f"hotterm uniq{i:05d}term",
+            }
+            for i in range(300)
+        ]
+    )
+    d1 = str(tmp_path / "idx_probe")
+    b1 = IndexBuilder(spark, d1, n_buckets=8)
+    b1.build(spark.createDataFrame(pdf), input_token="probe")
+    s2 = b1.metrics["stage2_postings"]
+    s1 = b1.metrics["stage1_tokenize"]
+    assert s2["strategy"] == "shuffle-encode"
+    max_bucket_bytes = int(s2["max_bucket_rows"]) * 48
+    mean_est = int(s1["total_tokens"]) * 48 // 8
+    cap = max_bucket_bytes - 1
+    assert mean_est <= cap, "corpus must separate mean from max for this test"
+    monkeypatch.setenv("SPARK_GRAFT_S2_MAX_BUCKET_BYTES", str(cap))
+    d2 = str(tmp_path / "idx_skewguard")
+    b2 = IndexBuilder(spark, d2, n_buckets=8)
+    b2.build(spark.createDataFrame(pdf), input_token="skewguard")
+    assert b2.metrics["stage2_postings"]["strategy"] == "local-merge"
+
+
 def test_auto_strategy_resolution(spark, docs_pdf, docs_oracle, tmp_path, monkeypatch):
     """'auto' resolves to shuffle-encode when the estimated per-bucket bytes
     fit the cap, and falls back to local-merge above it — with identical
