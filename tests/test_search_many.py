@@ -32,3 +32,33 @@ def test_search_many_matches_single(docs_engine):
 def test_search_many_empty_batch(docs_engine):
     out = docs_engine.search_many({"none": "nosuchterm"}, k=5)
     assert out.count() == 0
+
+
+def test_search_many_wand_off_matches_single(docs_engine):
+    """Forcing the full decode must not change batched results."""
+    batch = docs_engine.search_many(QUERIES, k=10, wand="off").collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_search_many_batched_decode_prunes(docs_engine):
+    """The batched decode must skip blocks when member-query masks apply:
+    a hot∧rare conjunction bounds the hot term's decode to the blocks
+    holding the rare term's single posting (VERDICT r4 #2)."""
+    got = docs_engine.search_many(
+        {"andrare": "license AND rareterm000063z"}, k=5
+    ).collect()
+    st = docs_engine.last_batch_prune
+    assert st is not None
+    assert 0 < st["blocks_kept"] < st["blocks_total"]
+    single = [
+        (r["doc_id"], r["score"])
+        for r in docs_engine.search("license AND rareterm000063z", 5, wand="off").collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in got] == single
