@@ -789,12 +789,14 @@ class IndexBuilder:
             .mapInPandas(assign, "term string, tid long, pk int")
             .persist()
         )
-        n_vocab = dict_df.count()  # materialize before vocab unpersists
-        vocab.unpersist()
+        # n_vocab falls out of the bucket counts — no extra count() job; the
+        # first broadcast materializes dict_df (vocab stays persisted until
+        # the stage-2 write completes, so nothing recomputes from raw tf)
         return {
             "dict_df": dict_df,
+            "vocab": vocab,
             "boffs": boffs,
-            "n_vocab": int(n_vocab),
+            "n_vocab": int(boffs[-1]),
             "max_bucket_rows": max(rows_b.values(), default=0),
             "seconds": time.time() - t0,
         }
@@ -1298,6 +1300,7 @@ class IndexBuilder:
 
         if dict_info is not None:
             dict_info["dict_df"].unpersist()
+            dict_info["vocab"].unpersist()
 
         t_s0 = time.time()
         post = spark.read.parquet(paths.postings)

@@ -339,6 +339,69 @@ ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
 """
 
 
+def ivf_materialize(spark: SparkSession, sf_dir: str, base_dir: str = "/tmp/admarus_ivf") -> str:
+    """Write the inverted-file layout ONCE: embeddings partitioned BY cell
+    (``cell=<c>/`` directories), so every subsequent probe is partition
+    pruning instead of recomputing the cell assignment per query — the
+    physical migration the ``ivf_topk`` docstring promises (VERDICT r4 #4),
+    and the exact trick the postings table plays with ``tb``. Keyed by the
+    source dir; skipped when the table already exists (at production scale
+    this is the offline index build; staleness is the caller's contract,
+    like any index)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    import os
+
+    out = os.path.join(base_dir, f"{key}_c{NB_CELLS}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = _emb(spark, sf_dir)
+        cells = ivf_cells(spark, sf_dir)
+        (
+            e.select("vec_id", "embedding")
+            .join(cells, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(out)
+        )
+    return out
+
+
+def ivf_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over the MATERIALIZED cells-partitioned table: the
+    NPROBE nearest cells are established driver-side from the broadcast-
+    sized centroid set (NB_CELLS ~ sqrt(n) rows — a bounded collect), and
+    the candidate scan is ``PartitionFilters: cell IN (...)`` — candidates
+    stream from NPROBE partition directories, the full corpus is never
+    read (plan captured in BENCH/PLANS.md §5). Result-identical to
+    ``ivf_topk`` and to the shared DuckDB oracle."""
+    path = ivf_materialize(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NB_CELLS)).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    probe_cells = [
+        int(r["c"])
+        for r in (
+            cents.crossJoin(F.broadcast(q))
+            .withColumn("d2_r", F.round(_l2sq(F.col("cv"), F.col("qv")), 9))
+            .orderBy(F.asc("d2_r"), F.asc("c"))
+            .limit(NPROBE)
+            .collect()
+        )
+    ]
+    t = spark.read.parquet(path).withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return (
+        t.filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_buckets": lsh_buckets,
@@ -346,6 +409,7 @@ QUERIES = {
     "sim_neardup_pairs": neardup_pairs,
     "sim_ivf_cells": ivf_cells,
     "sim_ivf_topk": ivf_topk,
+    "sim_ivf_topk_mat": ivf_topk_materialized,
 }
 
 ORACLES = {
@@ -355,4 +419,7 @@ ORACLES = {
     "sim_neardup_pairs": NEARDUP_SQL,
     "sim_ivf_cells": IVF_CELLS_SQL,
     "sim_ivf_topk": IVF_TOPK_SQL,
+    # same reference semantics: the materialized layout must reproduce the
+    # recompute-per-query plan's results exactly
+    "sim_ivf_topk_mat": IVF_TOPK_SQL,
 }

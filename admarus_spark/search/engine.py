@@ -134,6 +134,13 @@ class SearchEngine:
         # — above the cap BMW returns None and the executor-side per-term
         # greedy (no driver fetch) takes over (ADVICE r4)
         self.bmw_max_term_df = int(os.environ.get("SPARK_GRAFT_BMW_MAX_DF", 2_000_000))
+        # batched-decode pruning engages only when the batch's total posting
+        # volume exceeds this: below it the decode is cheaper than the
+        # driver-side mask computation the pruning spends (mask latency is
+        # constant in executor count; the decode it saves is not)
+        self.batch_prune_min_postings = int(
+            os.environ.get("SPARK_GRAFT_BATCH_PRUNE_MIN_POSTINGS", 50_000)
+        )
         # persisted intermediates from the previous search_many/_finish call;
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
@@ -148,6 +155,21 @@ class SearchEngine:
                 r["term"]: int(r["df"])
                 for r in self.postings.select("term", "df").collect()
             }
+
+    # --------------------------------------------------------------------
+    def refresh(self) -> None:
+        """Re-sync with an index that was updated underneath this engine
+        (incremental upsert / compaction from another process): a long-lived
+        serving session otherwise keeps the df cache, blooms and tombstone
+        view from init — the guards keep results rank-safe (stale df_cache
+        returns empty rather than wrong) but recall silently drops until
+        re-init (VERDICT r4 #7). Re-runs init: stats, rollup rows, df cache,
+        tombstones and n_buckets re-read; cached per-bucket blooms and
+        persisted intermediates dropped. Cost equals engine construction
+        (two O(1) summary collects + the size-gated dictionary cache) —
+        cheap enough for a periodic refresh tick."""
+        self.release_cache()
+        self.__init__(self.spark, self.paths.index_dir)
 
     # --- M1 bloom gate (matching.rs:19-41 semantics, u32 sum/gate) ------
     def _bloom_match_score(self, comp: QueryComp, filt: np.ndarray, optimistic: bool = True) -> int:
@@ -542,6 +564,36 @@ class SearchEngine:
             .collect()[0]
         )
 
+    def _prefetch_blobs(
+        self, pruned: DataFrame, terms: list[str], df_map: dict[str, int],
+        budget: int = 64 << 20,
+    ) -> dict[str, object]:
+        """ONE partition/term-pruned collect of many terms' posting blobs
+        (driver-side job latency is per-JOB, not per-row — a per-term fetch
+        loop serializes ~0.1 s jobs that no executor count can hide).
+        Largest-df terms drop out first when the ~6 B/posting estimate
+        exceeds the byte budget; misses simply fall back to the per-term
+        fetch in the θ probe."""
+        if not terms:
+            return {}
+        keep: list[str] = []
+        est = 0
+        for t in sorted(terms, key=lambda t: df_map[t]):
+            est += df_map[t] * 6
+            if est > budget:
+                break
+            keep.append(t)
+        if not keep:
+            return {}
+        tbs = sorted({term_bucket(t, self.n_buckets) for t in keep})
+        rows = (
+            self.postings.filter(F.col("tb").isin(tbs) & F.col("term").isin(keep))
+            .select("term", "ids", "tfs", "dls", "block_firsts", "block_lens",
+                    "ids_offs", "tfs_offs", "dls_offs")
+            .collect()
+        )
+        return {r["term"]: r for r in rows}
+
     def _bmw_masks_meta(
         self, by_term: dict, df_map: dict[str, int], k: int, blob_cache: dict
     ) -> tuple[dict[str, np.ndarray], float] | None:
@@ -604,7 +656,9 @@ class SearchEngine:
         return {t: ub >= theta for t, ub in ub_by_term.items()}, theta
 
     # --------------------------------------------------------------------
-    def _query_cand_ids(self, q: Query, qdf: dict[str, int]) -> np.ndarray | None:
+    def _query_cand_ids(
+        self, q: Query, qdf: dict[str, int], blob_cache: dict | None = None
+    ) -> np.ndarray | None:
         """Exact candidate-id superset for conjunctive / n-of-m shapes (the
         driver half of the single-query pruning in ``search``), or None when
         the shape / df caps do not apply. An EMPTY array means no doc can
@@ -615,7 +669,7 @@ class SearchEngine:
                 return np.empty(0, np.int64)  # a required word is unindexed
             rare = min(req, key=lambda t: qdf[t])
             if qdf[rare] <= self.and_prune_max_df:
-                return self._collect_term_ids(rare)
+                return self._collect_term_ids(rare, blob_cache)
             return None
         cover = _nofm_cover_words(q.root, qdf)
         if cover is not None:
@@ -623,7 +677,7 @@ class SearchEngine:
                 return np.empty(0, np.int64)  # fewer than n children present
             uniq_cover = list(dict.fromkeys(cover))
             if sum(qdf[t] for t in uniq_cover) <= self.and_prune_max_df:
-                parts = [self._collect_term_ids(t) for t in uniq_cover]
+                parts = [self._collect_term_ids(t, blob_cache) for t in uniq_cover]
                 return np.unique(np.concatenate(parts))
         return None
 
@@ -647,8 +701,17 @@ class SearchEngine:
         max-fold ignores), and id-bound masks keep every block containing a
         candidate (conjunctive / n-of-m members — non-candidates cannot
         pass the fold gate, candidates keep complete scores). Stats land in
-        ``self.last_batch_prune``. Returns None for full decode."""
+        ``self.last_batch_prune``. Returns None for full decode.
+
+        Cost control: mask computation is driver-side latency that does NOT
+        shrink with executors, while the decode it saves does — so it only
+        engages when the batch's posting volume makes the decode the bigger
+        cost (``batch_prune_min_postings``), and the θ-probe blobs for the
+        whole batch are prefetched in ONE partition-pruned job instead of a
+        driver round-trip per term."""
         if wand == "off" or not self.wand_safe:
+            return None
+        if sum(df_map.values()) < self.batch_prune_min_postings:
             return None
         by_term = self._collect_block_meta(pruned)
         if by_term is None:
@@ -659,7 +722,9 @@ class SearchEngine:
             if t in df_map
         }
         full_terms: set[str] = set()
-        blob_cache: dict[str, object] = {}
+        blob_cache: dict[str, object] = self._prefetch_blobs(
+            pruned, [t for t in masks if df_map[t] <= self.bmw_max_term_df], df_map
+        )
         for q in batched.values():
             qterms = [t for t in dict.fromkeys(q.terms()) if t in masks]
             if not qterms:
@@ -671,7 +736,7 @@ class SearchEngine:
                 if out is not None:
                     q_masks = out[0]
             elif len(qdf) > 1:
-                cand = self._query_cand_ids(q, qdf)
+                cand = self._query_cand_ids(q, qdf, blob_cache)
                 if cand is not None:
                     if cand.size == 0:
                         continue  # no doc can match this member: keep nothing
@@ -699,17 +764,21 @@ class SearchEngine:
         return masks
 
     # --------------------------------------------------------------------
-    def _collect_term_ids(self, term: str) -> np.ndarray:
+    def _collect_term_ids(self, term: str, blob_cache: dict | None = None) -> np.ndarray:
         """Driver-side decode of ONE term's posting ids (for conjunctive
         pruning): fetch the term's compressed blobs (partition-pruned,
-        bounded by its df) and decode locally. Returns sorted int64 ids."""
-        tb = term_bucket(term, self.n_buckets)
-        rows = (
-            self.postings.filter((F.col("tb") == tb) & (F.col("term") == term))
-            .select("ids", "tfs", "dls", "block_firsts", "block_lens",
-                    "ids_offs", "tfs_offs", "dls_offs")
-            .collect()
-        )
+        bounded by its df — or straight from a batch prefetch cache) and
+        decode locally. Returns sorted int64 ids."""
+        if blob_cache is not None and term in blob_cache:
+            rows = [blob_cache[term]]
+        else:
+            tb = term_bucket(term, self.n_buckets)
+            rows = (
+                self.postings.filter((F.col("tb") == tb) & (F.col("term") == term))
+                .select("ids", "tfs", "dls", "block_firsts", "block_lens",
+                        "ids_offs", "tfs_offs", "dls_offs")
+                .collect()
+            )
         parts = [
             decode_postings(
                 r["ids"], r["tfs"], r["dls"], list(r["block_firsts"]),

@@ -99,15 +99,17 @@ class IncrementalIndexer:
             "repo", "path",
             F.col("content_sha256").alias("_old_sha"),
             F.col("doc_id").alias("_old_id"),
+            F.col("doc_len").alias("_old_len"),
         )
         changed = delta.join(prev, ["repo", "path"]).filter(
             F.col("content_sha256") != F.col("_old_sha")
         )
-        # the replaced generations' ids, pinned driver-side (small: bounded by
-        # the delta row count)
-        changed_ids = sorted(
-            int(r["_old_id"]) for r in changed.select("_old_id").collect()
-        )
+        # the replaced generations' ids + lengths, pinned driver-side (small:
+        # bounded by the delta row count). The lengths feed the O(delta)
+        # running-totals stats update below.
+        changed_rows = changed.select("_old_id", "_old_len").collect()
+        changed_ids = sorted(int(r["_old_id"]) for r in changed_rows)
+        changed_len = sum(int(r["_old_len"] or 0) for r in changed_rows)
         n_changed = len(changed_ids)
         fresh = new_paths.unionByName(changed.select(*delta.columns))
         # arrival-order ids: lexicographic within the delta, appended after
@@ -285,17 +287,47 @@ class IncrementalIndexer:
             .parquet(paths.doc_dict)
         )
 
-        # stats: recompute over LIVE docs; bm_avgdl unchanged (block-max
-        # staleness marker)
-        dd_now = spark.read.parquet(paths.doc_dict)
-        if os.path.exists(tomb_path):
-            dd_now = dd_now.join(spark.read.parquet(tomb_path), "doc_id", "left_anti")
-        agg = (
-            dd_now
-            .agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt"))
-            .collect()[0]
-        )
-        n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+        # stats: RUNNING totals — previous live (n_docs, total_tokens) plus
+        # the delta's doc lengths minus the replaced generations' lengths
+        # (collected above with the tombstone ids). O(delta) instead of a
+        # full doc_dict aggregate per update (VERDICT r4 #3): the previous
+        # stats row already excludes every earlier tombstone, so adding the
+        # new generations and subtracting this update's dead ones keeps the
+        # invariant stats == live-aggregate exactly. The delta length sum
+        # reads back the just-appended doc_dict rows with a doc_id > max_id
+        # pushdown — parquet row-group stats skip every pre-existing file,
+        # so the scan touches only the delta's own files. bm_avgdl is
+        # unchanged (block-max staleness marker). Legacy stats rows without
+        # total_tokens fall back to the full recompute.
+        try:
+            prev_n = int(stats["n_docs"])
+            prev_tt = int(stats["total_tokens"])
+        except (KeyError, TypeError, ValueError):
+            prev_n = prev_tt = None
+        if prev_n is not None:
+            delta_len = int(
+                spark.read.parquet(paths.doc_dict)
+                .filter(F.col("doc_id") > F.lit(max_id))
+                .agg(F.sum("doc_len"))
+                .collect()[0][0]
+                or 0
+            )
+            n_docs = prev_n + int(n_new) - n_changed
+            total_tokens = prev_tt + delta_len - changed_len
+            stats_mode = "running"
+        else:
+            dd_now = spark.read.parquet(paths.doc_dict)
+            if os.path.exists(tomb_path):
+                dd_now = dd_now.join(
+                    spark.read.parquet(tomb_path), "doc_id", "left_anti"
+                )
+            agg = (
+                dd_now
+                .agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt"))
+                .collect()[0]
+            )
+            n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+            stats_mode = "recompute"
         stats_pdf = pd.DataFrame(
             [
                 {
@@ -365,6 +397,7 @@ class IncrementalIndexer:
             "rows_changed": int(n_changed),
             "affected_buckets": affected,
             "n_docs": n_docs,
+            "stats_mode": stats_mode,
             "seconds": time.time() - t0,
         }
         n_dead = len(dead_prev) + n_changed

@@ -232,6 +232,76 @@ def test_changed_content_reindexed(spark, tmp_path):
     assert m2["rows_new"] == 0 and m2["rows_changed"] == 0
 
 
+def test_engine_refresh_sees_external_update(spark, tmp_path):
+    """A live SearchEngine whose index is updated by ANOTHER indexer must,
+    after refresh(), return exactly what a fresh engine returns (stats, df
+    cache, tombstone view, blooms all re-synced)."""
+    base = make_docs_corpus(100, seed=5)
+    d = str(tmp_path / "idx_refresh")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="rf-base"
+    )
+    eng = SearchEngine(spark, d)
+    eng.search("license", 5).collect()  # warm caches on the stale view
+
+    extra = make_docs_corpus(50, seed=88)
+    extra["path"] = extra["path"].str.replace("src/", "later/", regex=False)
+    IncrementalIndexer(spark, d).update(
+        spark.createDataFrame(extra), input_token="rf-delta"
+    )
+
+    eng.refresh()
+    fresh = SearchEngine(spark, d)
+    assert eng.n_docs == fresh.n_docs == 150
+    assert eng.wand_safe == fresh.wand_safe
+    for q in ["license", "parser AND lexer", "parser lexer bloom"]:
+        got = path_scores(eng.search(q, 10**6))
+        want = path_scores(fresh.search(q, 10**6))
+        assert got == want, q
+
+
+def test_running_stats_equal_live_aggregate(spark, tmp_path):
+    """update() keeps (n_docs, total_tokens) as O(delta) running totals
+    (VERDICT r4 #3); across adds AND content replacements they must equal
+    the full live aggregate (doc_dict minus tombstones) exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = make_docs_corpus(120, seed=3)
+    d = str(tmp_path / "idx_runstats")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="rs-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+
+    extra = make_docs_corpus(40, seed=77)
+    extra["path"] = extra["path"].str.replace("src/", "added/", regex=False)
+    m1 = inc.update(spark.createDataFrame(extra), input_token="rs-d1")
+    assert m1["stats_mode"] == "running"
+
+    changed = base.iloc[[2, 9]].copy()
+    changed["content"] = "replacementtoken " + changed["content"]
+    import hashlib
+
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    m2 = inc.update(spark.createDataFrame(changed), input_token="rs-d2")
+    assert m2["stats_mode"] == "running" and m2["rows_changed"] == 2
+
+    stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+    dd = spark.read.parquet(os.path.join(d, "doc_dict"))
+    tomb = spark.read.parquet(os.path.join(d, "tombstones"))
+    live = dd.join(tomb, "doc_id", "left_anti")
+    agg = live.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tt")
+    ).collect()[0]
+    assert int(stats["n_docs"]) == int(agg["n"])
+    assert int(stats["total_tokens"]) == int(agg["tt"])
+    assert float(stats["avgdl"]) == int(agg["tt"]) / int(agg["n"])
+
+
 def test_incremental_meta_bloom_covers_delta_values(spark, inc_setup):
     """update() folds ONLY the delta's name=value words into the stored meta
     bloom (O(delta), no full doc_dict rescan — VERDICT r3 #5); the result

@@ -9,26 +9,36 @@ from admarus_spark.ops import similarity as sim
 SF_SMALL = "/root/testdata/sf0.001"
 
 
-def test_fake_payload_expr_matches_python(spark):
-    """The Catalyst byte expression must be bit-identical to the Python
-    reference codec (make_fake_payload) — including multi-byte utf-8 chars
-    split at the 64-byte truncation point."""
-    rows = [
-        (0, "hello world"),
-        (7, ""),
-        (63, "é" * 100),              # 2-byte chars, cut mid-char at 64
-        (64, "x" * 3 + "é"),
-        (123456, "a" * 200),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        r["doc_id"]: bytes(r["p"])
-        for r in df.select(
-            "doc_id", mm.fake_payload_col(F.col("doc_id"), F.col("text")).alias("p")
-        ).collect()
-    }
-    for doc_id, text in rows:
-        assert got[doc_id] == mm.make_fake_payload(doc_id, text), doc_id
+def test_bmp_roundtrip_identity():
+    """encode_bmp -> decode_image must reproduce the pixel array exactly,
+    including 4-byte row padding (odd widths) and the bottom-up row order."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (5, 7), (1, 1), (3, 13), (0, 4)]:
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        img = mm.decode_image(mm.encode_bmp(gray))
+        assert img.shape == (h, w, 3)
+        for c in range(3):
+            assert (img[:, :, c] == gray).all(), (h, w, c)
+
+
+def test_ppm_decode():
+    """Binary PPM (P6) with comments and an odd width decodes exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    h, w = 4, 5
+    body = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n" + f"{w} {h}\n255\n".encode() + body.tobytes()
+    img = mm.decode_image(payload)
+    assert img.shape == (h, w, 3)
+    assert (img == body).all()
+
+
+def test_decode_image_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
 def test_media_features_matches_decode_image(spark):
@@ -38,10 +48,10 @@ def test_media_features_matches_decode_image(spark):
     }
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20).collect()
     for d in docs:
-        img = mm.decode_image(mm.make_fake_payload(d["doc_id"], d["text"]))
+        img = mm.decode_image(mm.make_image_payload(d["doc_id"], d["text"]))
         r = feats[d["doc_id"]]
-        assert r["decode_ok"] and (r["height"], r["width"]) == img.shape
-        assert abs(r["mean_px_r"] - img.mean()) < 1e-8, d["doc_id"]
+        assert r["decode_ok"] and (r["height"], r["width"]) == img.shape[:2]
+        assert abs(r["mean_px_r"] - img[:, :, 0].mean()) < 1e-8, d["doc_id"]
 
 
 def test_neardup_exact_guard_raises(spark):

@@ -34,6 +34,26 @@ def test_search_many_empty_batch(docs_engine):
     assert out.count() == 0
 
 
+def test_search_many_forced_pruning_matches_single(docs_engine):
+    """With the posting-volume gate lowered, EVERY batched shape must still
+    match its sequential result while the union masks prune the decode."""
+    prev = docs_engine.batch_prune_min_postings
+    docs_engine.batch_prune_min_postings = 0
+    try:
+        batch = docs_engine.search_many(QUERIES, k=10).collect()
+    finally:
+        docs_engine.batch_prune_min_postings = prev
+    assert docs_engine.last_batch_prune is not None
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
 def test_search_many_wand_off_matches_single(docs_engine):
     """Forcing the full decode must not change batched results."""
     batch = docs_engine.search_many(QUERIES, k=10, wand="off").collect()
@@ -50,10 +70,17 @@ def test_search_many_wand_off_matches_single(docs_engine):
 def test_search_many_batched_decode_prunes(docs_engine):
     """The batched decode must skip blocks when member-query masks apply:
     a hot∧rare conjunction bounds the hot term's decode to the blocks
-    holding the rare term's single posting (VERDICT r4 #2)."""
-    got = docs_engine.search_many(
-        {"andrare": "license AND rareterm000063z"}, k=5
-    ).collect()
+    holding the rare term's single posting (VERDICT r4 #2). The
+    posting-volume gate is lowered for the fixture-sized corpus (pruning
+    is for batches whose decode dwarfs the driver-side mask cost)."""
+    prev = docs_engine.batch_prune_min_postings
+    docs_engine.batch_prune_min_postings = 0
+    try:
+        got = docs_engine.search_many(
+            {"andrare": "license AND rareterm000063z"}, k=5
+        ).collect()
+    finally:
+        docs_engine.batch_prune_min_postings = prev
     st = docs_engine.last_batch_prune
     assert st is not None
     assert 0 < st["blocks_kept"] < st["blocks_total"]
