@@ -52,6 +52,7 @@ def worker(cpus: int, tid: bool) -> None:
     print(json.dumps({
         "cpus": cpus, "tid": s2.get("tid_dict"), "s2_sec": s2["seconds"],
         "dict_sec": s2.get("dict_sec"), "n_vocab": s2.get("n_vocab"),
+        "shuffle_write_bytes": s2.get("shuffle_write_bytes"),
     }), flush=True)
 
 
@@ -76,15 +77,22 @@ if __name__ == "__main__":
     else:
         rounds = int(os.environ.get("TID_AB_ROUNDS", "2"))
         res: dict[str, list] = {}
+        sbytes: dict[str, int] = {}
         for _ in range(rounds):
             for cpus in (1, 4):
                 for tid in (True, False):
                     r = run(cpus, tid)
-                    res.setdefault(f"local{cpus}_{'tid' if tid else 'str'}", []).append(r["s2_sec"])
+                    key = f"local{cpus}_{'tid' if tid else 'str'}"
+                    res.setdefault(key, []).append(r["s2_sec"])
+                    if r.get("shuffle_write_bytes"):
+                        sbytes[key] = r["shuffle_write_bytes"]
         report = {
             "n_docs": N_DOCS,
             "s2_sec_all": {k: [round(x, 2) for x in v] for k, v in res.items()},
             "s2_sec_min": {k: round(min(v), 2) for k, v in res.items()},
+            # deterministic per variant (same rows either way) — the direct
+            # evidence that the tid swap cuts exchange volume
+            "shuffle_write_bytes": sbytes,
         }
         print(json.dumps(report, indent=2))
         with open("BENCH/TID_AB.json", "w") as f:

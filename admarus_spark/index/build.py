@@ -1290,11 +1290,22 @@ class IndexBuilder:
                 merge_bucket, POSTINGS_SCHEMA + ", tb int"
             )
         t_w0 = time.time()
+        # bracket the write job's exchange volume (best-effort, from the JVM
+        # status store): the raw-tf shuffle executes inside this job, so the
+        # before/after delta IS the stage-2 shuffled-byte count — the direct
+        # evidence for the tid-vs-string bandwidth claim (VERDICT r4 #1)
+        from ..session import jvm_shuffle_write_bytes
+
+        sw_before = jvm_shuffle_write_bytes(spark)
         (
             merged.sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("tb")
             .parquet(paths.postings)
+        )
+        sw_after = jvm_shuffle_write_bytes(spark)
+        shuffle_bytes = (
+            sw_after - sw_before if sw_before is not None and sw_after is not None else None
         )
         t_write = time.time() - t_w0
 
@@ -1341,6 +1352,9 @@ class IndexBuilder:
                 "terms_per_bucket": per_bucket,
                 "write_job_sec": round(t_write, 2),
                 "stats_job_sec": round(t_stats, 2),
+                # raw-tf exchange volume (None when the status store is
+                # unreachable); tid vs string A/B evidence, see BENCH/tid_ab.py
+                "shuffle_write_bytes": shuffle_bytes,
                 "seconds": time.time() - t0,
             },
         )

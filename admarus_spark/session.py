@@ -72,3 +72,27 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def jvm_shuffle_write_bytes(spark: SparkSession) -> int | None:
+    """Total shuffle-write bytes across every stage the app has run so far,
+    read from the JVM AppStatusStore (the UI's data source — works with
+    ``spark.ui.enabled=false``). A before/after snapshot around a job
+    brackets that job's exchange volume; the build runs its jobs
+    sequentially from one driver thread, so the delta is attributable.
+    Returns None when the py4j surface is unavailable (API drift) — callers
+    treat the metric as best-effort evidence, never control flow."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        # Spark 4 signature: stageList(statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus) — Scala default args don't exist at
+        # the bytecode level, so every parameter is passed explicitly
+        quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        total = 0
+        it = store.stageList(None, False, False, quantiles, None).iterator()
+        while it.hasNext():
+            total += it.next().shuffleWriteBytes()
+        return int(total)
+    except Exception:
+        return None

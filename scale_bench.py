@@ -128,10 +128,47 @@ def worker(cpus: int) -> None:
                 "s2_write": b.metrics["stage2_postings"].get("write_job_sec"),
                 "s2_stats": b.metrics["stage2_postings"].get("stats_job_sec"),
             },
+            # raw-tf exchange volume (JVM status store; the tid-dictionary
+            # swap's direct bandwidth evidence — deterministic per corpus)
+            "s2_shuffle_write_bytes": b.metrics["stage2_postings"].get("shuffle_write_bytes"),
         }
     )
     sys.stdout.flush()
     print(line, flush=True)
+
+
+def query_worker(cpus: int) -> None:
+    """Query-only measurement against the index a prior build worker left at
+    /tmp/admarus_scale_idx_{cpus}: same warmup + timed ``search_many`` batch
+    as ``worker`` but no rebuild, so a query-side change can be re-laddered
+    in minutes. The build and query halves of the claim stay comparable
+    because both read the identical persisted index."""
+    from admarus_spark.search.engine import SearchEngine
+    from admarus_spark.session import get_spark
+
+    idx = f"/tmp/admarus_scale_idx_{cpus}"
+    if not os.path.exists(idx):
+        raise SystemExit(f"no persisted index at {idx}: run the build worker first")
+    spark = get_spark(app_name=f"admarus_scale_q{cpus}", master=f"local[{cpus}]")
+    n = spark.sparkContext.defaultParallelism
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        time.sleep(2.0)
+        yield from batches
+
+    spark.range(0, n, 1, n).mapInPandas(_warm, "id long").count()
+    eng = SearchEngine(spark, idx)
+    eng.search("license", 10).collect()
+    qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
+    eng.search_many(qmap, 10).collect()
+    t0 = time.time()
+    eng.search_many(qmap, 10).collect()
+    query_sec = time.time() - t0
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "query_sec": query_sec}), flush=True)
 
 
 def run_worker(cpus: int) -> dict:
@@ -175,6 +212,9 @@ def main() -> None:
         "build_docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
         "stage_sec": {f"local{c}": best[c].get("stage_sec") for c in levels},
         "sub_sec": {f"local{c}": best[c].get("sub_sec") for c in levels},
+        "s2_shuffle_write_bytes": {
+            f"local{c}": best[c].get("s2_shuffle_write_bytes") for c in levels
+        },
         "query_batch_sec": {f"local{c}": round(qbest[c], 2) for c in levels},
         "query_qps": {f"local{c}": round(qps[c], 2) for c in levels},
         "scaling_efficiency": {
@@ -191,5 +231,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--query-worker":
+        query_worker(int(sys.argv[2]))
     else:
         main()

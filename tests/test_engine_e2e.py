@@ -141,6 +141,13 @@ def test_tid_dict_parity_with_string_path(spark, docs_pdf, docs_oracle, tmp_path
         SearchEngine(spark, d2), docs_oracle,
         ["license", "license AND parser", "parser lexer bloom"],
     )
+    # the point of the tid swap: the raw-tf exchange ships fewer bytes than
+    # the string-keyed exchange for the SAME posting rows (measured from the
+    # JVM status store; best-effort — skip the comparison if unavailable)
+    tid_bytes = b1.metrics["stage2_postings"]["shuffle_write_bytes"]
+    str_bytes = b2.metrics["stage2_postings"]["shuffle_write_bytes"]
+    if tid_bytes is not None and str_bytes is not None:
+        assert 0 < tid_bytes < str_bytes
 
 
 def test_auto_guard_uses_largest_bucket(spark, tmp_path, monkeypatch):
