@@ -66,6 +66,60 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[sf_dir]
 
 
+_UPD_SUFFIX = " zzupdated zzupdated zzupdated"
+_UPD_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _engine_after_update(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """S3/T1/A6 end-to-end under the driver's value gate: build the base
+    index, re-index every doc_id % 17 == 3 with changed content through
+    ``IncrementalIndexer.update()`` (new generation + tombstone-first), then
+    ``compact()`` (tombstones cleared without a content rescan, WAND
+    re-enabled). The DuckDB oracle recomputes BM25 from first principles
+    over the post-update corpus, so stats/df/idf drift in the incremental
+    path would hash-mismatch. Idempotent across driver runs: the base build
+    resumes from its lineage checkpoint, a re-applied delta dedups on
+    content sha (index.rs:68-75 semantics), and compact() on a clean index
+    is a no-op."""
+    if sf_dir not in _UPD_ENGINES:
+        from admarus_spark.streaming.incremental import IncrementalIndexer
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        idx = f"/tmp/admarus_entry_idx/{tag}_upd"
+        IndexBuilder(spark, idx, n_buckets=16, salt_chunks=8).build(
+            _docs_shape(spark, sf_dir), input_token=f"testdata-upd-base:{sf_dir}"
+        )
+        d = _documents(spark, sf_dir).filter(F.col("doc_id") % 17 == 3)
+        delta = d.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 10, "0")).alias("path"),
+            F.substring(
+                F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":upd")), 256), 1, 40
+            ).alias("commit"),
+            F.col("lang"),
+            F.concat(F.col("text"), F.lit(_UPD_SUFFIX)).alias("content"),
+        )
+        inc = IncrementalIndexer(spark, idx)
+        inc.update(delta, input_token=f"testdata-upd-delta:{sf_dir}")
+        inc.compact()
+        _UPD_ENGINES[sf_dir] = SearchEngine(spark, idx)
+    return _UPD_ENGINES[sf_dir]
+
+
+def _bm25_after_update_query(query_text: str, k: int = DEFAULT_K):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine_after_update(spark, sf_dir)
+        res = eng.search(query_text, None)
+        return (
+            res.withColumn("score_r", F.round(F.col("score"), 9))
+            .orderBy(F.desc("score_r"), F.asc("repo"), F.asc("path"))
+            .limit(k)
+            .select("path", "score_r")
+        )
+
+    return run
+
+
 def _bm25_query(query_text: str, k: int = DEFAULT_K):
     """Engine search -> (path, score_r), ordered/limited on the rounded score
     with (source, path) tie-break — the exact rule the SQL oracle uses.
@@ -145,6 +199,39 @@ FROM res r JOIN documents d ON d.doc_id = r.doc_id
 ORDER BY round(r.score, 9) DESC, d.source ASC, path ASC
 LIMIT {k}
 """
+
+
+def _bm25_after_update_oracle(terms: list[str], gate: str, score: str, k: int = DEFAULT_K) -> str:
+    """First-principles BM25 over the POST-UPDATE corpus: a docs2 CTE applies
+    the same deterministic content change the Spark entry pushes through
+    ``IncrementalIndexer.update()`` (doc_id % 17 == 3 gains _UPD_SUFFIX), and
+    every tokenize/df/idf/avgdl CTE is retargeted from documents to docs2 —
+    so the oracle checks the incremental path's stats and postings, not just
+    its row plumbing."""
+    docs2 = """docs2 AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 17 = 3
+              THEN text || '""" + _UPD_SUFFIX + """'
+              ELSE text END AS text
+  FROM documents
+),
+"""
+    body = _bmp_replace_src(_bm25_res_ctes(terms, gate, score), "docs2")
+    body = body.replace("WITH ", "WITH " + docs2, 1)
+    return f"""
+{body}
+SELECT 'doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0') AS path,
+       round(r.score, 9) AS score_r
+FROM res r JOIN docs2 d ON d.doc_id = r.doc_id
+ORDER BY round(r.score, 9) DESC, d.source ASC, path ASC
+LIMIT {k}
+"""
+
+
+def _bmp_replace_src(sql: str, src: str) -> str:
+    """Retarget the tokenize CTE chain's base table (the only 'FROM
+    documents' occurrences in a join_meta=False chain live in _TOK_CTES)."""
+    return sql.replace("FROM documents", f"FROM {src}")
 
 
 # ----------------------------------------------------------------------
@@ -447,6 +534,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_nofm": _bm25_query("2(spark, stream, window)"),
     "bm25_not": _bm25_query("batch AND NOT dup"),
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
+    "bm25_after_update": _bm25_after_update_query("batch zzupdated"),
     "bm25_grouped": _bm25_grouped("batch"),
     "bm25_grouped_anchored": _bm25_grouped_anchored("spark AND stream"),
     "bm25_grouped_walk": _bm25_grouped_walk("batch"),
@@ -506,6 +594,11 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     ),
     "bm25_lang_filter": _bm25_oracle(
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
+    ),
+    "bm25_after_update": _bm25_after_update_oracle(
+        ["batch", "zzupdated"],
+        gate="greatest(s_0, s_1) > 0",
+        score="greatest(s_0, s_1)",
     ),
     "bm25_grouped": _bm25_grouped_oracle(["batch"], gate="s_0 > 0", score="s_0"),
     "bm25_grouped_anchored": _bm25_grouped_anchored_oracle(
