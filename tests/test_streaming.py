@@ -5,6 +5,8 @@ reference's periodic re-crawl (daemon/src/index/mod.rs:7-8)."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from admarus_spark.corpus import make_docs_corpus
 from admarus_spark.index.build import IndexBuilder
 from admarus_spark.search.engine import SearchEngine
@@ -44,3 +46,76 @@ def test_streaming_ingest(spark, tmp_path):
     assert eng.n_docs == len(base) + len(extra)
     res = eng.search("license", 10**6).collect()
     assert any(r["path"].startswith("landed/") for r in res)
+
+
+def test_streaming_census_matches_batch(spark, tmp_path):
+    """Lambda unification for the census rollup (T3/A8): the watermarked
+    streaming hourly agg emits, in append mode, exactly the batch-computed
+    rows for every window the final watermark has closed.
+
+    Two files + maxFilesPerTrigger=1 force multiple micro-batches; the
+    engine's closing no-data batch advances the watermark to
+    max(all ts) - 30min and flushes every window whose end <= it.
+    Deterministic: fixed timestamps, no wall clock."""
+    from admarus_spark.streaming.census import hourly_stream
+
+    rows_a, rows_b = [], []
+    base = 1_700_000_000  # fixed epoch, hour-unaligned offsets below
+    for i in range(240):
+        ts = base + i * 60  # one event/minute across 4 hours
+        rec = {
+            "ts": ts,
+            "event_type": ["click", "view", "buy"][i % 3],
+            "value": round(0.25 * (i % 7) + 0.01 * i, 6),
+        }
+        (rows_a if i < 180 else rows_b).append(rec)
+
+    drop = tmp_path / "events"
+    drop.mkdir()
+    for name, rows in (("a.json", rows_a), ("b.json", rows_b)):
+        with open(drop / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(drop))
+        .withColumn("ts", F.to_timestamp(F.from_unixtime(F.col("ts").cast("long"))))
+    )
+    q = (
+        hourly_stream(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("census_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_census"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["hour_ts"], r["event_type"]): (r["n"], r["sum_value_r"])
+        for r in spark.sql("SELECT * FROM census_stream").collect()
+    }
+
+    # batch twin over the same raw rows, restricted to windows the stream's
+    # final watermark (max ts across all files - 30 min) had closed
+    static = (
+        spark.read.schema(schema).json(str(drop))
+        .withColumn("ts", F.to_timestamp(F.from_unixtime(F.col("ts").cast("long"))))
+    )
+    wm = max(r["ts"] for r in rows_a + rows_b) - 30 * 60
+    want = {
+        (r["hour_ts"], r["event_type"]): (r["n"], r["sum_value_r"])
+        for r in (
+            static.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value_r"))
+            .filter(F.col("hour_ts") + 3600 <= wm)
+        ).collect()
+    }
+    assert len(want) > 0  # the test must actually close windows
+    assert got == want
