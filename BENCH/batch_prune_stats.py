@@ -51,6 +51,7 @@ def main() -> None:
             else None
         ),
         "full_decode_terms": prune.get("full_terms"),
+        "greedy_terms": prune.get("greedy_terms"),
         "terms": prune.get("terms"),
         "batch_sec_full": round(sec_full, 2),
         "batch_sec_pruned": round(sec_pruned, 2),

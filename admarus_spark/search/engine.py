@@ -141,6 +141,14 @@ class SearchEngine:
         self.batch_prune_min_postings = int(
             os.environ.get("SPARK_GRAFT_BATCH_PRUNE_MIN_POSTINGS", 50_000)
         )
+        # batched θ-probing fetches blobs ONLY for terms at or below this df:
+        # rare/mid blobs are small and carry the high actual scores that set
+        # a tight θ (the df-skew win case); hot blobs never ship driver-side
+        # in the batched path — hot uniform members use the executor-side
+        # per-term greedy instead, whose cost shrinks with executors
+        self.batch_probe_max_df = int(
+            os.environ.get("SPARK_GRAFT_BATCH_PROBE_MAX_DF", 100_000)
+        )
         # persisted intermediates from the previous search_many/_finish call;
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
@@ -595,12 +603,24 @@ class SearchEngine:
         return {r["term"]: r for r in rows}
 
     def _bmw_masks_meta(
-        self, by_term: dict, df_map: dict[str, int], k: int, blob_cache: dict
+        self,
+        by_term: dict,
+        df_map: dict[str, int],
+        k: int,
+        blob_cache: dict,
+        probe_df_cap: int | None = None,
     ) -> tuple[dict[str, np.ndarray], float] | None:
         """Core of cross-term BMW over precollected block metadata; returns
         ({term: keep-mask}, θ) or None. The blob cache is shared by the
         caller so a batch of queries probing the same hot terms fetches each
-        blob once."""
+        blob once.
+
+        With ``probe_df_cap`` set (batched path), θ is established from
+        rare/mid-term blocks ONLY (df ≤ cap — small blobs, high actual
+        scores); hot blobs are never fetched. Rank-safe: θ over a SUBSET of
+        actual scores still lower-bounds the true k-th best. If the capped
+        probe cannot reach k distinct docs, returns None so the caller falls
+        back to the executor-side per-term greedy."""
         if any(df_map[t] > self.bmw_max_term_df for t in df_map):
             return None
         k1, b, avgdl = BM25_K1, BM25_B, self.avgdl
@@ -628,6 +648,8 @@ class SearchEngine:
         for ub, t, bi in flat:
             if len(best) >= k:
                 break
+            if probe_df_cap is not None and df_map[t] > probe_df_cap:
+                continue  # batched path: hot blobs never ship driver-side
             probes += 1
             if probes > probe_budget:
                 return None
@@ -653,6 +675,11 @@ class SearchEngine:
                     best[d] = s
         if len(best) >= k:
             theta = float(np.sort(np.fromiter(best.values(), dtype=np.float64))[-k])
+        elif probe_df_cap is not None:
+            # capped probe could not establish θ (no/too-few rare matches):
+            # signal the caller to use the greedy fallback rather than
+            # shipping all-True masks
+            return None
         return {t: ub >= theta for t, ub in ub_by_term.items()}, theta
 
     # --------------------------------------------------------------------
@@ -681,6 +708,22 @@ class SearchEngine:
                 return np.unique(np.concatenate(parts))
         return None
 
+    def _cand_fetch_terms(self, q: Query, qdf: dict[str, int]) -> list[str]:
+        """The terms ``_query_cand_ids`` would fetch blobs for (its fetch
+        PLAN, same caps) — lets the batched path prefetch them in one job."""
+        req = required_words(q.root)
+        if req:
+            if req - set(qdf):
+                return []
+            rare = min(req, key=lambda t: qdf[t])
+            return [rare] if qdf[rare] <= self.and_prune_max_df else []
+        cover = _nofm_cover_words(q.root, qdf)
+        if cover:
+            uniq = list(dict.fromkeys(cover))
+            if sum(qdf[t] for t in uniq) <= self.and_prune_max_df:
+                return uniq
+        return []
+
     def _batch_masks(
         self,
         pruned: DataFrame,
@@ -692,76 +735,123 @@ class SearchEngine:
         """Per-term block keep-masks for the batched decode: the UNION of
         each member query's single-query masks (VERDICT r4 'what's wrong'
         #1 — the batched path used to decode the full union of all terms).
-        A block kept for ANY member is decoded; a member for which no
-        driver-side mask applies marks its terms full-decode.
+        A block kept for ANY member is decoded. Per-term spec shipped to
+        the decode: ``(mask | None, greedy_k | None)`` — the executor ORs
+        the driver mask with its own per-term greedy selection; a term
+        absent from the spec decodes full.
 
         Exactness per member is the same argument as the single-query
         paths: BMW masks keep every top-k doc's best component (max-fold
         members — extra unioned blocks only add lower components that the
-        max-fold ignores), and id-bound masks keep every block containing a
-        candidate (conjunctive / n-of-m members — non-candidates cannot
-        pass the fold gate, candidates keep complete scores). Stats land in
-        ``self.last_batch_prune``. Returns None for full decode.
+        max-fold ignores), the per-term greedy keeps ≥ k docs per term
+        (rank-safe for max-fold), and id-bound masks keep every block
+        containing a candidate (conjunctive / n-of-m members —
+        non-candidates cannot pass the fold gate, candidates keep complete
+        scores). ORing specs only ADDS blocks, so each member's guarantee
+        survives the union. Stats land in ``self.last_batch_prune``.
+        Returns None for full decode.
 
-        Cost control: mask computation is driver-side latency that does NOT
-        shrink with executors, while the decode it saves does — so it only
-        engages when the batch's posting volume makes the decode the bigger
-        cost (``batch_prune_min_postings``), and the θ-probe blobs for the
-        whole batch are prefetched in ONE partition-pruned job instead of a
-        driver round-trip per term."""
+        Cost control (the load-bearing part): driver-side mask latency is
+        CONSTANT in executor count, while the decode it saves shrinks — so
+        the driver fetches only rare/mid blobs (θ-probes ≤
+        ``batch_probe_max_df``, conjunctive rare/cover ≤
+        ``and_prune_max_df``) in ONE partition-pruned job; hot and uniform
+        max-fold members prune executor-side instead (per-term greedy, zero
+        driver bytes). Below ``batch_prune_min_postings`` total volume the
+        whole machinery disengages."""
         if wand == "off" or not self.wand_safe:
             return None
         if sum(df_map.values()) < self.batch_prune_min_postings:
             return None
-        by_term = self._collect_block_meta(pruned)
-        if by_term is None:
-            return None
-        masks = {
-            t: np.zeros(len(r["block_max"]), dtype=bool)
-            for t, r in by_term.items()
-            if t in df_map
-        }
+        probe_cap = self.batch_probe_max_df
+        # Classify members: driver-side masks only where a BOUNDED driver
+        # fetch buys the measured reductions (θ from rare blobs, conjunctive
+        # id-bounds); hot/uniform max-fold members prune EXECUTOR-side via
+        # the per-term greedy, whose cost shrinks with executors — driver
+        # latency must stay constant in batch heat or the batched path
+        # stops scaling (the r5 ladder regression this replaces).
+        bmw_q: list[tuple[Query, list[str], dict[str, int]]] = []
+        cand_q: list[tuple[Query, list[str], dict[str, int]]] = []
+        greedy_terms: set[str] = set()
         full_terms: set[str] = set()
-        blob_cache: dict[str, object] = self._prefetch_blobs(
-            pruned, [t for t in masks if df_map[t] <= self.bmw_max_term_df], df_map
-        )
         for q in batched.values():
-            qterms = [t for t in dict.fromkeys(q.terms()) if t in masks]
+            qterms = [t for t in dict.fromkeys(q.terms()) if t in df_map]
             if not qterms:
                 continue
             qdf = {t: df_map[t] for t in qterms}
-            q_masks: dict[str, np.ndarray] | None = None
             if is_max_fold(q.root):
-                out = self._bmw_masks_meta(by_term, qdf, k, blob_cache)
-                if out is not None:
-                    q_masks = out[0]
+                if any(d <= probe_cap for d in qdf.values()) and all(
+                    d <= self.bmw_max_term_df for d in qdf.values()
+                ):
+                    bmw_q.append((q, qterms, qdf))
+                else:
+                    greedy_terms.update(qterms)
             elif len(qdf) > 1:
-                cand = self._query_cand_ids(q, qdf, blob_cache)
-                if cand is not None:
-                    if cand.size == 0:
-                        continue  # no doc can match this member: keep nothing
-                    q_masks = {
-                        t: _select_blocks_intersect(by_term[t], cand)
-                        for t in qterms
-                    }
-            if q_masks is None:
+                cand_q.append((q, qterms, qdf))
+            else:
+                # single positive term under a NOT/filter gate: greedy is
+                # not rank-safe (excluded docs may occupy the top-k)
+                full_terms.update(qterms)
+        by_term = self._collect_block_meta(pruned) if (bmw_q or cand_q) else None
+        if by_term is None:
+            # legacy/split-row layout (or no member wants driver masks):
+            # max-fold members degrade to the executor greedy, conjunctive
+            # members to full decode
+            for _, qterms, _qdf in bmw_q:
+                greedy_terms.update(qterms)
+            for _, qterms, _qdf in cand_q:
+                full_terms.update(qterms)
+            bmw_q, cand_q = [], []
+        # ONE bounded prefetch job: θ-probe blobs (df ≤ probe_cap) plus the
+        # conjunctive rare/cover blobs (_query_cand_ids' own fetch plan)
+        want: set[str] = set()
+        for q, qterms, qdf in bmw_q:
+            want.update(t for t in qterms if qdf[t] <= probe_cap)
+        for q, qterms, qdf in cand_q:
+            want.update(self._cand_fetch_terms(q, qdf))
+        blob_cache: dict[str, object] = self._prefetch_blobs(
+            pruned, sorted(want), df_map
+        )
+        masks: dict[str, np.ndarray] = {}
+
+        def _or(t: str, m: np.ndarray) -> None:
+            masks[t] = (masks[t] | m) if t in masks else m
+
+        for q, qterms, qdf in bmw_q:
+            out = self._bmw_masks_meta(
+                by_term, qdf, k, blob_cache, probe_df_cap=probe_cap
+            )
+            if out is None:
+                greedy_terms.update(qterms)  # θ not establishable from rare blobs
+            else:
+                for t, m in out[0].items():
+                    _or(t, m)
+        for q, qterms, qdf in cand_q:
+            cand = self._query_cand_ids(q, qdf, blob_cache)
+            if cand is None:
                 full_terms.update(qterms)
             else:
-                for t, m in q_masks.items():
-                    masks[t] |= m
-        for t in full_terms:
-            masks[t][:] = True
-        total = sum(int(m.size) for m in masks.values())
-        kept = sum(int(m.sum()) for m in masks.values())
+                # empty cand → all-False masks: no doc can match the member
+                for t in qterms:
+                    _or(t, _select_blocks_intersect(by_term[t], cand))
+        # merge into per-term decode specs; a full-decode need overrides
+        spec: dict[str, tuple[np.ndarray | None, int | None]] = {}
+        for t in set(masks) | greedy_terms:
+            if t in full_terms:
+                continue
+            spec[t] = (masks.get(t), k if t in greedy_terms else None)
+        total = sum(int(m.size) for m, gk in spec.values() if m is not None and gk is None)
+        kept = sum(int(m.sum()) for m, gk in spec.values() if m is not None and gk is None)
         self.last_batch_prune = {
             "blocks_total": total,
             "blocks_kept": kept,
+            "greedy_terms": sum(1 for _m, gk in spec.values() if gk is not None),
             "full_terms": len(full_terms),
-            "terms": len(masks),
+            "terms": len(df_map),
         }
-        if kept >= total:
+        if not spec:
             return None
-        return masks
+        return spec
 
     # --------------------------------------------------------------------
     def _collect_term_ids(self, term: str, blob_cache: dict | None = None) -> np.ndarray:
@@ -805,9 +895,11 @@ class SearchEngine:
         saturation >= the block's upper bound are known — block-max WAND
         specialized to per-term lists (SURVEY.md §4 O12).
 
-        With ``block_masks`` set (cross-term BMW, see ``_bmw_masks``), each
-        term decodes exactly its precomputed keep-mask — no per-row greedy
-        loop in the executors at all.
+        With ``block_masks`` set, each term decodes its precomputed
+        keep-mask (cross-term BMW, see ``_bmw_masks``). Batched specs
+        (``_batch_masks``) are ``(mask | None, greedy_k | None)`` tuples:
+        the executor ORs the driver mask with its own per-term greedy
+        selection, so hot terms prune without any driver-side blob fetch.
 
         With ``cand_ids`` set (conjunctive pruning; mutually exclusive with
         the other two), a block is decoded only when its id range [first_i,
@@ -834,7 +926,18 @@ class SearchEngine:
                     if wand_k is not None:
                         keep = _select_blocks_topk(r, wand_k, k1, b, avgdl)
                     elif block_masks is not None:
-                        keep = block_masks.get(r.term)
+                        bm = block_masks.get(r.term)
+                        if isinstance(bm, tuple):
+                            # batched spec: (driver mask | None, greedy_k |
+                            # None) — OR of both selections (adding blocks
+                            # is always rank-safe)
+                            m, gk = bm
+                            keep = m
+                            if gk is not None:
+                                g = _select_blocks_topk(r, gk, k1, b, avgdl)
+                                keep = g if keep is None else (keep | g)
+                        else:
+                            keep = bm
                         if keep is not None and keep.all():
                             keep = None  # full decode, skip the gather path
                     elif cand is not None and has_lasts:

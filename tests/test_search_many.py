@@ -89,3 +89,55 @@ def test_search_many_batched_decode_prunes(docs_engine):
         for r in docs_engine.search("license AND rareterm000063z", 5, wand="off").collect()
     ]
     assert [(r["doc_id"], r["score"]) for r in got] == single
+
+
+def test_search_many_greedy_fallback_matches_single(docs_engine):
+    """With the driver θ-probe disabled (batch_probe_max_df=0), every
+    max-fold member must fall to the EXECUTOR-side per-term greedy and still
+    match its sequential result — the zero-driver-cost path hot/uniform
+    batches take at scale."""
+    prev_gate, prev_cap = (
+        docs_engine.batch_prune_min_postings, docs_engine.batch_probe_max_df,
+    )
+    docs_engine.batch_prune_min_postings = 0
+    docs_engine.batch_probe_max_df = 0
+    try:
+        batch = docs_engine.search_many(QUERIES, k=10).collect()
+    finally:
+        docs_engine.batch_prune_min_postings = prev_gate
+        docs_engine.batch_probe_max_df = prev_cap
+    st = docs_engine.last_batch_prune
+    assert st is not None and st["greedy_terms"] > 0
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_search_many_capped_probe_failure_degrades_to_greedy(docs_engine):
+    """probe cap of 1: only the df-1 rare term's block is probe-eligible, so
+    θ cannot reach k distinct docs — _bmw_masks_meta must return None and
+    the member must degrade to greedy, never ship all-True masks."""
+    prev_gate, prev_cap = (
+        docs_engine.batch_prune_min_postings, docs_engine.batch_probe_max_df,
+    )
+    docs_engine.batch_prune_min_postings = 0
+    docs_engine.batch_probe_max_df = 1
+    try:
+        got = docs_engine.search_many(
+            {"skew": "license rareterm000063z"}, k=10
+        ).collect()
+    finally:
+        docs_engine.batch_prune_min_postings = prev_gate
+        docs_engine.batch_probe_max_df = prev_cap
+    st = docs_engine.last_batch_prune
+    assert st is not None and st["greedy_terms"] > 0
+    single = [
+        (r["doc_id"], r["score"])
+        for r in docs_engine.search("license rareterm000063z", 10, wand="off").collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in got] == single
