@@ -24,6 +24,7 @@ same ln() bits (float-parity note in oracle.py).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -386,6 +387,12 @@ class SearchEngine:
         Returns (query_id, doc_id, score, repo, path, commit, lang), top-k
         per query by (score desc, doc_id asc).
         """
+        # Phase timings for the scaling decomposition (BENCH/BASELINE.md):
+        # prep = parse + bloom gates + df lookup; mask = _batch_masks θ
+        # probes; plan = plan construction after masks. All DRIVER-side
+        # constants — the distributed job itself is timed by the caller.
+        t_start = time.time()
+        self.last_batch_timings = {"prep_sec": 0.0, "mask_sec": 0.0, "plan_sec": 0.0}
         self.release_cache()
         parsed: dict[str, Query] = {
             qid: (parse_query(q) if isinstance(q, str) else q) for qid, q in queries.items()
@@ -429,7 +436,10 @@ class SearchEngine:
                         r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()
                     }
                 if df_map:
+                    t_m = time.time()
+                    self.last_batch_timings["prep_sec"] = t_m - t_start
                     block_masks = self._batch_masks(pruned, batched, df_map, k, wand)
+                    self.last_batch_timings["mask_sec"] = time.time() - t_m
                     decoded = self._decode(pruned, None, None, block_masks)
                     scored, term_col = self._score(decoded, df_map)
                     needs_meta = any(
@@ -506,9 +516,15 @@ class SearchEngine:
         for p in parts[1:]:
             topk = topk.unionByName(p)
         out = self.doc_dict.join(F.broadcast(topk), "doc_id")
-        return out.select(
+        result = out.select(
             "query_id", "doc_id", "score", "repo", "path", "commit", "lang"
         ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        self.last_batch_timings["plan_sec"] = (
+            time.time() - t_start
+            - self.last_batch_timings["prep_sec"]
+            - self.last_batch_timings["mask_sec"]
+        )
+        return result
 
     # --------------------------------------------------------------------
     def _bmw_masks(self, pruned: DataFrame, df_map: dict[str, int], k: int):

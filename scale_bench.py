@@ -163,12 +163,19 @@ def query_worker(cpus: int) -> None:
     eng = SearchEngine(spark, idx)
     eng.search("license", 10).collect()
     qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
-    eng.search_many(qmap, 10).collect()
+    wand = os.environ.get("SPARK_GRAFT_QW_WAND", "auto")
+    eng.search_many(qmap, 10, wand=wand).collect()
     t0 = time.time()
-    eng.search_many(qmap, 10).collect()
+    eng.search_many(qmap, 10, wand=wand).collect()
     query_sec = time.time() - t0
+    timings = {k: round(v, 3) for k, v in eng.last_batch_timings.items()}
     spark.stop()
-    print(json.dumps({"cpus": cpus, "query_sec": query_sec}), flush=True)
+    print(
+        json.dumps(
+            {"cpus": cpus, "wand": wand, "query_sec": query_sec, "driver": timings}
+        ),
+        flush=True,
+    )
 
 
 def run_worker(cpus: int) -> dict:
