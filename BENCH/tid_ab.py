@@ -18,6 +18,10 @@ import subprocess
 import sys
 import time
 
+# python BENCH/tid_ab.py puts BENCH/ (the script dir) on sys.path, not the
+# repo root — add it so the worker subprocess can import admarus_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_DOCS = (
     int(sys.argv[1])
     if len(sys.argv) > 1 and sys.argv[1] != "--worker"

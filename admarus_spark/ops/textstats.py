@@ -53,6 +53,125 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("doc_id", pred.alias("lang_pred"))
 
 
+# ----------------------------------------------------------------------
+# Character-trigram language ID (Cavnar/Trenkle-style profile scoring).
+#
+# The reference's P3 derives a document's language from the document itself
+# (daemon HTML `lang` attr extraction); the training-data analog is a
+# content-derived classifier rather than trusting an input column. Profiles
+# are built ONCE at import from literal seed text: per language, the most
+# discriminative [a-z ] trigrams (frequency margin over every other
+# language) with their seed frequencies as weights. Scoring is one
+# Catalyst-only scan — per trigram an occurrence count via
+# length(lower(text)) - length(replace(...)), then a fixed-order weighted
+# sum per language and a strict argmax (ties / all-zero -> 'unknown',
+# lexicographically-smallest wins). The identical SQL fragment runs on both
+# engines (Spark F.expr == DuckDB), so float order is pinned by
+# construction. At 100 TB this is a narrow projection over one scan: no
+# shuffle, no UDF, ~N_LANGS*N_TRIGRAMS string scans per row.
+
+_LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it walks with "
+        "their friends because there is nothing that they would rather do "
+        "this evening when the work is finished and everything has been said"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux et ensuite il "
+        "marche avec ses amis parce que rien ne lui ferait plus plaisir ce "
+        "soir quand le travail est fini et que tout a ete dit dans la maison"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt uber den faulen hund und dann "
+        "geht er mit seinen freunden weil es nichts gibt was sie lieber tun "
+        "wurden an diesem abend wenn die arbeit fertig ist und alles gesagt"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y luego "
+        "camina con sus amigos porque no hay nada que prefieran hacer esta "
+        "noche cuando el trabajo esta terminado y todo ha sido dicho en casa"
+    ),
+}
+_NGRAM_TOP = 12
+
+
+def _trigram_freqs(text: str) -> dict[str, float]:
+    grams: dict[str, int] = {}
+    for i in range(len(text) - 2):
+        g = text[i : i + 3]
+        if all(c == " " or "a" <= c <= "z" for c in g):
+            grams[g] = grams.get(g, 0) + 1
+    total = sum(grams.values())
+    return {g: c / total for g, c in grams.items()}
+
+
+def _build_lang_profiles() -> dict[str, list[tuple[str, float]]]:
+    """Deterministic: for each language the _NGRAM_TOP trigrams with the
+    largest frequency margin over every other seed, weight = round(seed
+    frequency, 6). Trigrams are [a-z ]-only, so they embed verbatim in SQL."""
+    freqs = {lg: _trigram_freqs(s) for lg, s in _LANG_SEEDS.items()}
+    out: dict[str, list[tuple[str, float]]] = {}
+    for lg, f in freqs.items():
+        margin = {
+            g: p - max((freqs[o].get(g, 0.0) for o in freqs if o != lg), default=0.0)
+            for g, p in f.items()
+        }
+        top = sorted(margin, key=lambda g: (-margin[g], g))[:_NGRAM_TOP]
+        out[lg] = [(g, round(f[g], 6)) for g in sorted(top)]
+    return out
+
+
+LANG_PROFILES = _build_lang_profiles()
+
+
+def _ngram_score_sql(lang: str) -> str:
+    """One language's weighted trigram score over lower(text) — the SAME
+    string is compiled by Spark (F.expr) and DuckDB, pinning float order."""
+    terms = [
+        f"{w} * (CAST(length(lower(text)) - length(replace(lower(text), '{g}', '')) "
+        f"AS DOUBLE) / 3.0)"
+        for g, w in LANG_PROFILES[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, s_de, s_en, s_es, s_fr): content-derived trigram
+    language ID. Scores rounded to 9dp (repo float-oracle convention)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = sorted(LANG_PROFILES)
+    scored = d.select(
+        "doc_id",
+        *[F.round(F.expr(_ngram_score_sql(lg)), 9).alias(f"s_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    for lg in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((best > 0) & (F.col(f"s_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), *[f"s_{lg}" for lg in langs]
+    )
+
+
+def _langid_ngram_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    cols = ",\n       ".join(
+        f"round({_ngram_score_sql(lg)}, 9) AS s_{lg}" for lg in langs
+    )
+    best = "greatest({})".format(", ".join(f"s_{lg}" for lg in langs))
+    pred = "CASE"
+    for lg in langs:
+        pred += f" WHEN {best} > 0 AND s_{lg} = {best} THEN '{lg}'"
+    pred += " ELSE 'unknown' END"
+    score_cols = ", ".join(f"s_{lg}" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {cols} FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred, {score_cols} FROM scored
+"""
+
+
 def _langid_sql() -> str:
     langs = sorted(LANG_STOPWORDS)
     cols = ",\n       ".join(
@@ -219,6 +338,7 @@ FROM agg
 
 QUERIES = {
     "text_lang_id": lang_id,
+    "text_lang_ngram": lang_id_ngram,
     "text_common_words": common_words,
     "text_quality": quality,
     "text_token_counts": token_counts,
@@ -227,6 +347,7 @@ QUERIES = {
 
 ORACLES = {
     "text_lang_id": _langid_sql(),
+    "text_lang_ngram": _langid_ngram_sql(),
     "text_common_words": _common_words_sql(),
     "text_quality": QUALITY_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,

@@ -39,7 +39,7 @@ from ..murmur import term_bucket
 from ..oracle import bm25_idf
 from ..query.ast import Filter, NAmong, Not, Query, QueryComp, Word, required_words
 from ..query.parser import parse_query
-from .fold import compile_fold, is_max_fold
+from .fold import compile_fold, dlit, is_max_fold, sql_quote
 
 RESULT_SCHEMA = "doc_id long, score double, repo string, path string, commit string, lang string"
 
@@ -451,10 +451,10 @@ class SearchEngine:
                         ]
                         scored = scored.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
                     term_cols = {
-                        t: F.coalesce(F.col(c), F.lit(0.0)) for t, c in term_col.items()
+                        t: f"coalesce({c}, 0.0D)" for t, c in term_col.items()
                     }
                     meta_exprs = {
-                        n: F.col(n) for n in ("lang", "repo") if n in scored.columns
+                        n: n for n in ("lang", "repo") if n in scored.columns
                     }
                     # ALL per-query folds in ONE plan: each query contributes
                     # a conditional score column (null when its gate/candidate
@@ -466,6 +466,9 @@ class SearchEngine:
                     # exchange — not Q sequential driver-launched top-k jobs
                     # (the per-job overhead was the measured query-scaling
                     # bottleneck at local[1] vs local[4], VERDICT r3 #4).
+                    # Folds are SQL strings, ONE F.expr for the whole batch
+                    # — hundreds of py4j round-trips per query otherwise
+                    # (the plan_sec driver constant, BENCH/QUERY_DECOMP.json).
                     entries = []
                     for qid, q in batched.items():
                         gate, score = compile_fold(q.root, term_cols, meta_exprs)
@@ -476,22 +479,21 @@ class SearchEngine:
                         ]
                         if not pos_cols:
                             continue
-                        pred = None
-                        for c in pos_cols:
-                            p = F.col(c) > F.lit(0.0)
-                            pred = p if pred is None else (pred | p)
+                        pred = " OR ".join(f"({c} > 0.0D)" for c in pos_cols)
                         entries.append(
-                            F.struct(
-                                F.lit(qid).alias("query_id"),
-                                F.when(pred & gate, score).alias("score"),
-                            )
+                            f"named_struct('query_id', {sql_quote(qid)}, "
+                            f"'score', CASE WHEN ({pred}) AND {gate} "
+                            f"THEN {score} END)"
                         )
                     if entries:
                         from pyspark.sql import Window
 
                         exploded = (
                             scored.select(
-                                "doc_id", F.explode(F.array(*entries)).alias("qs")
+                                "doc_id",
+                                F.expr(
+                                    "explode(array({}))".format(", ".join(entries))
+                                ).alias("qs"),
                             )
                             .select("doc_id", "qs.query_id", "qs.score")
                             .filter(F.col("score").isNotNull())
@@ -997,18 +999,31 @@ class SearchEngine:
         """Per-(doc, term) BM25 score (JVM-side, pinned float order identical
         to oracle.term_scores), then pivot to per-doc term-score columns via
         conditional aggregation — whole-stage codegen, no Python."""
+        # SQL strings, not Column chains: idf injection + the per-term pivot
+        # were ~8 py4j round-trips per term — the dominant share of the
+        # batched path's driver plan constant (BENCH/QUERY_DECOMP.json).
+        # CASE branches are mutually exclusive so branch order can't change
+        # the selected idf literal; the arithmetic shape (idf * (tf / (tf +
+        # k1*((1-b) + (b*dl)/avgdl)))) is char-for-char the pinned one.
         terms = sorted(df_map)
-        idf_col = F.lit(0.0)
-        for t in terms:
-            idf_col = F.when(F.col("term") == F.lit(t), F.lit(bm25_idf(self.n_docs, df_map[t]))).otherwise(idf_col)
-        tf_d = F.col("tf").cast("double")
-        dl_d = F.col("dl").cast("double")
-        K = F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * dl_d) / F.lit(self.avgdl))
-        s = decoded.withColumn("s", idf_col * (tf_d / (tf_d + K)))
+        idf_sql = (
+            "CASE "
+            + " ".join(
+                f"WHEN term = {sql_quote(t)} THEN {dlit(bm25_idf(self.n_docs, df_map[t]))}"
+                for t in terms
+            )
+            + " ELSE 0.0D END"
+        )
+        s_sql = (
+            f"({idf_sql}) * (CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + "
+            f"{dlit(BM25_K1)} * ({dlit(1.0 - BM25_B)} + "
+            f"({dlit(BM25_B)} * CAST(dl AS DOUBLE)) / {dlit(self.avgdl)})))"
+        )
+        s = decoded.withColumn("s", F.expr(s_sql))
         term_col = {t: f"_s_{i}" for i, t in enumerate(terms)}
         aggs = [
-            F.coalesce(
-                F.max(F.when(F.col("term") == F.lit(t), F.col("s"))), F.lit(0.0)
+            F.expr(
+                f"coalesce(max(CASE WHEN term = {sql_quote(t)} THEN s END), 0.0D)"
             ).alias(term_col[t])
             for t in terms
         ]
@@ -1071,14 +1086,12 @@ class SearchEngine:
             meta_cols = ["doc_id"] + [c for c in ("lang", "repo") if c in self.doc_dict.columns]
             cand = cand.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
 
-        term_cols = {
-            t: F.coalesce(F.col(c), F.lit(0.0)) for t, c in term_col.items()
-        }
-        meta_exprs = {n: F.col(n) for n in ("lang", "repo") if n in cand.columns}
+        term_cols = {t: f"coalesce({c}, 0.0D)" for t, c in term_col.items()}
+        meta_exprs = {n: n for n in ("lang", "repo") if n in cand.columns}
         gate, score = compile_fold(query.root, term_cols, meta_exprs)
         topk = (
-            cand.withColumn("score", score)
-            .filter(gate)
+            cand.withColumn("score", F.expr(score))
+            .filter(F.expr(gate))
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
