@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Query-only scaling ladder -> BENCH/QUERY_DECOMP.json.
+
+Re-runs the 10-query ``search_many`` batch (scale_bench.QUERY_BATCH) against
+the persisted 800k-doc indexes at /tmp/admarus_scale_idx_{1,4} (left by the
+scale_bench build workers), interleaving (cpus, wand) cells per round so a
+query-side change can be re-laddered in minutes without rebuilds. Per-cell
+MIN over rounds (one-sided host noise); every sample is committed, with the
+per-phase driver timings (``SearchEngine.last_batch_timings``) that separate
+the distributed job from the driver pruning constant.
+
+Usage: python BENCH/query_ladder.py   (QL_ROUNDS=3 by default; resumes from
+/tmp/qdecomp_r5.jsonl if a prior run was interrupted)
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROUNDS = int(os.environ.get("QL_ROUNDS", "3"))
+CELLS = [(1, "auto"), (4, "auto"), (1, "off"), (4, "off")]
+OUT_JSONL = os.environ.get("QL_JSONL", "/tmp/qdecomp_r5.jsonl")
+
+samples = []
+if os.path.exists(OUT_JSONL):
+    with open(OUT_JSONL) as f:
+        samples = [json.loads(l) for l in f if l.strip()]
+    print(f"resuming with {len(samples)} prior samples", flush=True)
+
+total = ROUNDS * len(CELLS)
+with open(OUT_JSONL, "a") as sink:
+    for r in range(ROUNDS):
+        for cpus, wand in CELLS:
+            if len(samples) >= (r * len(CELLS) + CELLS.index((cpus, wand)) + 1):
+                continue
+            env = dict(os.environ, SPARK_GRAFT_QW_WAND=wand)
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scale_bench.py"), "--query-worker", str(cpus)],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            if out.returncode != 0:
+                print(out.stderr[-3000:], flush=True)
+                raise SystemExit(f"worker failed: cpus={cpus} wand={wand}")
+            line = out.stdout.strip().splitlines()[-1]
+            rec = json.loads(line)
+            samples.append(rec)
+            sink.write(line + "\n")
+            sink.flush()
+            print(f"[{len(samples)}/{total}] {rec['cpus']} {rec['wand']}: "
+                  f"{rec['query_sec']:.2f}s {rec['driver']}", flush=True)
+
+mins, driver_at_min = {}, {}
+for cpus in (1, 4):
+    for wand in ("auto", "off"):
+        cell = [s for s in samples if s["cpus"] == cpus and s["wand"] == wand]
+        if not cell:
+            continue
+        best = min(cell, key=lambda s: s["query_sec"])
+        key = f"local{cpus}_{wand}"
+        mins[key] = round(best["query_sec"], 2)
+        driver_at_min[key] = best["driver"]
+
+eff = {}
+for wand in ("auto", "off"):
+    lo, hi = mins.get(f"local1_{wand}"), mins.get(f"local4_{wand}")
+    if lo and hi:
+        eff[f"query_1_to_4_{wand}"] = round((lo / hi) / 4, 3)
+
+report = {
+    "n_queries": 10,
+    "corpus": "800k docs / 200k-term realistic vocab (same as SCALING.json)",
+    "note": "post-SQL-fold ladder (r5 commit 1cd03a8): fold + pivot emitted as SQL strings",
+    "samples": samples,
+    "min_sec": mins,
+    "driver_at_min": driver_at_min,
+    "scaling_efficiency": eff,
+}
+# keep the pre-fold summary embedded if the committed artifact carries one
+prev_path = os.path.join(REPO, "BENCH", "QUERY_DECOMP.json")
+if os.path.exists(prev_path):
+    try:
+        prev = json.load(open(prev_path))
+        if "pre_fold" in prev:
+            report["pre_fold"] = prev["pre_fold"]
+    except ValueError:
+        pass
+with open(prev_path, "w") as f:
+    json.dump(report, f, indent=2)
+print(json.dumps({"min_sec": mins, "scaling_efficiency": eff}, indent=2))
