@@ -20,7 +20,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROUNDS = int(os.environ.get("QL_ROUNDS", "3"))
 CELLS = [(1, "auto"), (4, "auto"), (1, "off"), (4, "off")]
-OUT_JSONL = os.environ.get("QL_JSONL", "/tmp/qdecomp_r5.jsonl")
+NQ = int(os.environ.get("QL_NQ", "10"))
+OUT_JSON = os.environ.get("QL_OUT", os.path.join(REPO, "BENCH", "QUERY_DECOMP.json"))
+OUT_JSONL = os.environ.get("QL_JSONL", f"/tmp/qdecomp_nq{NQ}.jsonl")
 
 samples = []
 if os.path.exists(OUT_JSONL):
@@ -34,7 +36,8 @@ with open(OUT_JSONL, "a") as sink:
         for cpus, wand in CELLS:
             if len(samples) >= (r * len(CELLS) + CELLS.index((cpus, wand)) + 1):
                 continue
-            env = dict(os.environ, SPARK_GRAFT_QW_WAND=wand)
+            env = dict(os.environ, SPARK_GRAFT_QW_WAND=wand,
+                       SPARK_GRAFT_QW_NQUERIES=str(NQ))
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scale_bench.py"), "--query-worker", str(cpus)],
                 capture_output=True, text=True, env=env, cwd=REPO,
@@ -68,23 +71,15 @@ for wand in ("auto", "off"):
         eff[f"query_1_to_4_{wand}"] = round((lo / hi) / 4, 3)
 
 report = {
-    "n_queries": 10,
+    "n_queries": NQ,
     "corpus": "800k docs / 200k-term realistic vocab (same as SCALING.json)",
-    "note": "post-SQL-fold ladder (r5 commit 1cd03a8): fold + pivot emitted as SQL strings",
+    "note": os.environ.get("QL_NOTE", "post-group-eval ladder (r5: executor-side batched evaluation)"),
     "samples": samples,
     "min_sec": mins,
     "driver_at_min": driver_at_min,
     "scaling_efficiency": eff,
 }
-# keep the pre-fold summary embedded if the committed artifact carries one
-prev_path = os.path.join(REPO, "BENCH", "QUERY_DECOMP.json")
-if os.path.exists(prev_path):
-    try:
-        prev = json.load(open(prev_path))
-        if "pre_fold" in prev:
-            report["pre_fold"] = prev["pre_fold"]
-    except ValueError:
-        pass
+prev_path = OUT_JSON
 with open(prev_path, "w") as f:
     json.dump(report, f, indent=2)
 print(json.dumps({"min_sec": mins, "scaling_efficiency": eff}, indent=2))

@@ -35,11 +35,18 @@ from .. import BM25_B, BM25_K1, FILTER_BITS
 from ..hashword import filter_get
 from ..index.build import IndexPaths
 from ..index.codec import decode_postings
-from ..murmur import term_bucket
+from ..murmur import identity_partition_keys, term_bucket
 from ..oracle import bm25_idf
 from ..query.ast import Filter, NAmong, Not, Query, QueryComp, Word, required_words
 from ..query.parser import parse_query
 from .fold import compile_fold, dlit, is_max_fold, sql_quote
+from .group_eval import (
+    evaluate_group,
+    group_members,
+    nofm_cover_words as _nofm_cover_words,
+    select_blocks_intersect as _select_blocks_intersect,
+    select_blocks_topk as _select_blocks_topk,
+)
 
 RESULT_SCHEMA = "doc_id long, score double, repo string, path string, commit string, lang string"
 
@@ -150,14 +157,25 @@ class SearchEngine:
         self.batch_probe_max_df = int(
             os.environ.get("SPARK_GRAFT_BATCH_PROBE_MAX_DF", 100_000)
         )
+        # batched members whose group (connected component of queries
+        # sharing terms) decodes under this many estimated bytes evaluate
+        # entirely executor-side (group_eval.py: co-located blobs, local
+        # pruning, k rows out); larger groups take the distributed pivot
+        # path — at 10^12-doc scale a monster term's postings must fan out
+        # per-doc, while a batch of bounded queries wants per-QUERY
+        # parallelism. ~24 bytes per decoded posting (3 int64 arrays).
+        self.group_eval_max_bytes = int(
+            os.environ.get("SPARK_GRAFT_GROUP_EVAL_MAX_BYTES", 1 << 30)
+        )
         # persisted intermediates from the previous search_many/_finish call;
         # released at the next query (or via release_cache) so a long-lived
         # serving session does not leak executor cache (ADVICE r1).
         self._live_cache: list[DataFrame] = []
         # decode-pruning evidence from the last cross-term BMW query / the
-        # last batched search_many mask union
+        # last batched search_many mask union / the last group-eval routing
         self.last_bmw: dict | None = None
         self.last_batch_prune: dict | None = None
+        self.last_group_eval: dict | None = None
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = {
@@ -371,18 +389,25 @@ class SearchEngine:
     def search_many(
         self, queries: dict[str, str | Query], k: int = 10, wand: str = "auto"
     ) -> DataFrame:
-        """Batched execution: MANY queries against ONE postings scan + decode
-        + pivot. Per-query results are identical to ``search`` (same folds,
-        same float order); queries whose candidates come from metadata
-        filters alone fall back to the single-query path and are unioned in.
-        The shared decode is pruned by the UNION of the member queries'
-        block masks (see ``_batch_masks``); ``wand="off"`` forces a full
-        decode.
+        """Batched execution: MANY queries, per-query results identical to
+        ``search`` (same floats, same order). Members route across three
+        paths and union:
 
-        This is the throughput shape for query-serving at scale: the scan,
-        decode and conditional-aggregation pivot are shared across the
-        batch, so Q queries cost one pass over the union of their terms plus
-        Q cheap column-fold projections over the cached pivot.
+        - **group-eval** (the default for postings-only members on a clean
+          index): each connected component of queries sharing terms becomes
+          ONE identity-routed shuffle partition of posting blobs, evaluated
+          entirely executor-side (``group_eval.evaluate_group``: local
+          rank-safe block pruning, the oracle's NumPy fold, exact top-k) —
+          k rows per query come back, no per-doc pivot, no driver θ probes.
+        - **pivot** (``_search_many_pivot``): shared scan + decode + BM25
+          pivot + one exploded fold plan + windowed per-query top-k — for
+          members whose folds reference metadata, tombstoned indexes,
+          groups over the decoded-bytes cap, and the ``wand="off"``
+          full-decode baseline. The shared decode is pruned by the UNION of
+          the member queries' block masks (``_batch_masks``).
+        - **fallback**: members with positive metadata filters take the
+          exact single-query path (their candidates come from doc_dict, not
+          postings).
 
         Returns (query_id, doc_id, score, repo, path, commit, lang), top-k
         per query by (score desc, doc_id asc).
@@ -393,6 +418,7 @@ class SearchEngine:
         # constants — the distributed job itself is timed by the caller.
         t_start = time.time()
         self.last_batch_timings = {"prep_sec": 0.0, "mask_sec": 0.0, "plan_sec": 0.0}
+        self.last_group_eval = None
         self.release_cache()
         parsed: dict[str, Query] = {
             qid: (parse_query(q) if isinstance(q, str) else q) for qid, q in queries.items()
@@ -418,94 +444,34 @@ class SearchEngine:
             self._ensure_bucket_blooms(
                 {term_bucket(t, self.n_buckets) for t in union_terms}
             )
-            scan_terms, buckets = [], set()
+            scan_terms = []
             for t in union_terms:
                 tb = term_bucket(t, self.n_buckets)
                 bloom = self.bucket_blooms.get(tb)
                 if bloom is not None and filter_get(bloom, t):
                     scan_terms.append(t)
-                    buckets.add(tb)
             if scan_terms:
-                pruned = self.postings.filter(
-                    F.col("tb").isin(sorted(buckets)) & F.col("term").isin(scan_terms)
-                )
                 if self.df_cache is not None:
                     df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
                 else:
+                    buckets = sorted({term_bucket(t, self.n_buckets) for t in scan_terms})
                     df_map = {
-                        r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()
+                        r["term"]: int(r["df"])
+                        for r in self.postings.filter(
+                            F.col("tb").isin(buckets) & F.col("term").isin(scan_terms)
+                        ).select("term", "df").collect()
                     }
                 if df_map:
-                    t_m = time.time()
-                    self.last_batch_timings["prep_sec"] = t_m - t_start
-                    block_masks = self._batch_masks(pruned, batched, df_map, k, wand)
-                    self.last_batch_timings["mask_sec"] = time.time() - t_m
-                    decoded = self._decode(pruned, None, None, block_masks)
-                    scored, term_col = self._score(decoded, df_map)
-                    needs_meta = any(
-                        _collect_filter_names(q.root) for q in batched.values()
+                    self.last_batch_timings["prep_sec"] = time.time() - t_start
+                    ge_groups, pivot_members = self._route_batch_members(
+                        batched, df_map, wand
                     )
-                    if needs_meta:
-                        meta_cols = ["doc_id"] + [
-                            c for c in ("lang", "repo") if c in self.doc_dict.columns
-                        ]
-                        scored = scored.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
-                    term_cols = {
-                        t: f"coalesce({c}, 0.0D)" for t, c in term_col.items()
-                    }
-                    meta_exprs = {
-                        n: n for n in ("lang", "repo") if n in scored.columns
-                    }
-                    # ALL per-query folds in ONE plan: each query contributes
-                    # a conditional score column (null when its gate/candidate
-                    # pred fails), exploded to (query_id, doc_id, score) rows,
-                    # then a row_number window takes top-k per query. Spark's
-                    # InferWindowGroupLimit turns the rn <= k filter into a
-                    # map-side partial top-k BEFORE the query_id shuffle, so
-                    # this is one job with a k-row-per-query-per-partition
-                    # exchange — not Q sequential driver-launched top-k jobs
-                    # (the per-job overhead was the measured query-scaling
-                    # bottleneck at local[1] vs local[4], VERDICT r3 #4).
-                    # Folds are SQL strings, ONE F.expr for the whole batch
-                    # — hundreds of py4j round-trips per query otherwise
-                    # (the plan_sec driver constant, BENCH/QUERY_DECOMP.json).
-                    entries = []
-                    for qid, q in batched.items():
-                        gate, score = compile_fold(q.root, term_cols, meta_exprs)
-                        pos_cols = [
-                            term_col[t]
-                            for t in dict.fromkeys(q.positive_terms())
-                            if t in term_col
-                        ]
-                        if not pos_cols:
-                            continue
-                        pred = " OR ".join(f"({c} > 0.0D)" for c in pos_cols)
-                        entries.append(
-                            f"named_struct('query_id', {sql_quote(qid)}, "
-                            f"'score', CASE WHEN ({pred}) AND {gate} "
-                            f"THEN {score} END)"
-                        )
-                    if entries:
-                        from pyspark.sql import Window
-
-                        exploded = (
-                            scored.select(
-                                "doc_id",
-                                F.expr(
-                                    "explode(array({}))".format(", ".join(entries))
-                                ).alias("qs"),
-                            )
-                            .select("doc_id", "qs.query_id", "qs.score")
-                            .filter(F.col("score").isNotNull())
-                        )
-                        w = Window.partitionBy("query_id").orderBy(
-                            F.desc("score"), F.asc("doc_id")
-                        )
-                        parts.append(
-                            exploded.withColumn("rn", F.row_number().over(w))
-                            .filter(F.col("rn") <= k)
-                            .select("query_id", "doc_id", "score")
-                        )
+                    if ge_groups:
+                        parts.append(self._search_many_groups(ge_groups, df_map, k))
+                    if pivot_members:
+                        part = self._search_many_pivot(pivot_members, df_map, k, wand)
+                        if part is not None:
+                            parts.append(part)
         for qid, q in fallback.items():
             parts.append(
                 self.search(q, k, _keep_cache=True).select(
@@ -527,6 +493,208 @@ class SearchEngine:
             - self.last_batch_timings["mask_sec"]
         )
         return result
+
+    # --------------------------------------------------------------------
+    def _route_batch_members(
+        self, batched: dict[str, Query], df_map: dict[str, int], wand: str
+    ) -> tuple[list[list[tuple[str, Query]]], dict[str, Query]]:
+        """Split batched members between the executor-side group evaluation
+        and the distributed pivot path. Group-eval takes postings-only
+        members (no metadata filter anywhere in the fold — group partitions
+        carry no doc metadata) on a clean index (no tombstones to anti-join,
+        block-max bounds valid); members sharing terms form one group
+        (connected components) so a shared term's blobs ship and decode
+        once; groups whose estimated decoded volume exceeds
+        ``group_eval_max_bytes`` stay on the pivot path (its per-doc
+        parallelism is the right shape for monster terms). ``wand="off"``
+        forces the pivot full decode — the measured no-pruning baseline."""
+        if wand == "off" or not self.wand_safe or self.tombstones is not None:
+            return [], dict(batched)
+        ge: dict[str, Query] = {}
+        pivot: dict[str, Query] = {}
+        for qid, q in batched.items():
+            if _collect_filter_names(q.root):
+                pivot[qid] = q
+            else:
+                ge[qid] = q
+        if not ge:
+            return [], pivot
+        groups: list[list[tuple[str, Query]]] = []
+        for comp in group_members(ge, df_map):
+            terms = {t for qid in comp for t in ge[qid].terms() if t in df_map}
+            est = sum(df_map[t] for t in terms) * 24
+            if est > self.group_eval_max_bytes:
+                for qid in comp:
+                    pivot[qid] = ge[qid]
+            else:
+                groups.append([(qid, ge[qid]) for qid in comp])
+        return groups, pivot
+
+    def _search_many_groups(
+        self,
+        groups: list[list[tuple[str, Query]]],
+        df_map: dict[str, int],
+        k: int,
+    ) -> DataFrame:
+        """Executor-side batched evaluation: ONE tb/term-pruned scan of the
+        member terms' posting blobs, identity-routed so each group's blobs
+        land whole and alone in their shuffle partition (same trick as the
+        build's raw-tf exchange, murmur.identity_partition_keys — no
+        sampling pass, no balls-in-bins collision), then one Arrow-batched
+        pass evaluates every member locally (group_eval.evaluate_group:
+        rank-safe block pruning with zero driver bytes, the oracle's NumPy
+        fold, exact top-k) and emits k rows per member. Driver cost is one
+        plan — no θ probes, no blob fetches, no per-term pivot columns."""
+        n = len(groups)
+        keys = identity_partition_keys(n)
+        members_by_key: dict[int, list[tuple[str, Query]]] = {}
+        term_key: dict[str, int] = {}
+        for i, comp in enumerate(groups):
+            members_by_key[keys[i]] = comp
+            for _qid, q in comp:
+                for t in q.terms():
+                    if t in df_map:
+                        term_key[t] = keys[i]
+        terms = sorted(term_key)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        pruned = self.postings.filter(
+            F.col("tb").isin(buckets) & F.col("term").isin(terms)
+        )
+        cols = [
+            "term", "ids", "tfs", "dls",
+            "block_firsts", "block_lens", "ids_offs", "tfs_offs", "dls_offs",
+            "block_max",
+        ]
+        if "block_lasts" in pruned.columns:
+            cols.append("block_lasts")
+        case = (
+            "CASE "
+            + " ".join(f"WHEN term = {sql_quote(t)} THEN {term_key[t]}" for t in terms)
+            + " END"
+        )
+        src = (
+            pruned.select(*cols)
+            .withColumn("gk", F.expr(case))
+            .repartition(n, "gk")
+        )
+        idf_map = {t: bm25_idf(self.n_docs, df_map[t]) for t in terms}
+        dfm = {t: df_map[t] for t in terms}
+        avgdl, kk = self.avgdl, k
+        k1, b = BM25_K1, BM25_B
+        mbk = members_by_key
+
+        def eval_map(batches):
+            rows_by_key: dict[int, dict[str, list]] = {}
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    rows_by_key.setdefault(r.gk, {}).setdefault(r.term, []).append(r)
+            recs: list[tuple[str, int, float]] = []
+            for gk, rows in rows_by_key.items():
+                recs.extend(
+                    evaluate_group(mbk[gk], rows, dfm, idf_map, kk, avgdl, k1, b)
+                )
+            if recs:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series([r[0] for r in recs], dtype=object),
+                        "doc_id": pd.Series([r[1] for r in recs], dtype=np.int64),
+                        "score": pd.Series([r[2] for r in recs], dtype=np.float64),
+                    }
+                )
+
+        self.last_group_eval = {
+            "groups": n,
+            "members": sum(len(c) for c in groups),
+            "terms": len(terms),
+        }
+        return src.mapInPandas(eval_map, "query_id string, doc_id long, score double")
+
+    def _search_many_pivot(
+        self,
+        members: dict[str, Query],
+        all_df_map: dict[str, int],
+        k: int,
+        wand: str,
+    ) -> DataFrame | None:
+        """Distributed batched evaluation (the per-doc-parallel shape):
+        shared scan + decode of the member terms, per-(doc, term) BM25
+        pivot, ALL per-query folds in ONE plan — each query contributes a
+        conditional score column (null when its gate/candidate pred fails),
+        exploded to (query_id, doc_id, score) rows, then a row_number window
+        takes top-k per query. Spark's InferWindowGroupLimit turns the
+        rn <= k filter into a map-side partial top-k BEFORE the query_id
+        shuffle, so this is one job with a k-row-per-query-per-partition
+        exchange — not Q sequential driver-launched top-k jobs (the per-job
+        overhead was the measured query-scaling bottleneck at local[1] vs
+        local[4], VERDICT r3 #4). Folds are SQL strings, ONE F.expr for the
+        whole batch — hundreds of py4j round-trips per query otherwise (the
+        plan_sec driver constant, BENCH/QUERY_DECOMP.json).
+
+        This path serves the members group-eval cannot: folds referencing
+        metadata (doc_dict join), tombstoned indexes (anti-join), groups
+        over the decoded-bytes cap, and the ``wand="off"`` full-decode
+        baseline."""
+        terms = [
+            t
+            for t in dict.fromkeys(t for q in members.values() for t in q.terms())
+            if t in all_df_map
+        ]
+        if not terms:
+            return None
+        df_map = {t: all_df_map[t] for t in terms}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        pruned = self.postings.filter(
+            F.col("tb").isin(buckets) & F.col("term").isin(terms)
+        )
+        t_m = time.time()
+        block_masks = self._batch_masks(pruned, members, df_map, k, wand)
+        self.last_batch_timings["mask_sec"] += time.time() - t_m
+        decoded = self._decode(pruned, None, None, block_masks)
+        scored, term_col = self._score(decoded, df_map)
+        needs_meta = any(_collect_filter_names(q.root) for q in members.values())
+        if needs_meta:
+            meta_cols = ["doc_id"] + [
+                c for c in ("lang", "repo") if c in self.doc_dict.columns
+            ]
+            scored = scored.join(self.doc_dict.select(*meta_cols), "doc_id", "left")
+        term_cols = {t: f"coalesce({c}, 0.0D)" for t, c in term_col.items()}
+        meta_exprs = {n: n for n in ("lang", "repo") if n in scored.columns}
+        entries = []
+        for qid, q in members.items():
+            gate, score = compile_fold(q.root, term_cols, meta_exprs)
+            pos_cols = [
+                term_col[t]
+                for t in dict.fromkeys(q.positive_terms())
+                if t in term_col
+            ]
+            if not pos_cols:
+                continue
+            pred = " OR ".join(f"({c} > 0.0D)" for c in pos_cols)
+            entries.append(
+                f"named_struct('query_id', {sql_quote(qid)}, "
+                f"'score', CASE WHEN ({pred}) AND {gate} "
+                f"THEN {score} END)"
+            )
+        if not entries:
+            return None
+        from pyspark.sql import Window
+
+        exploded = (
+            scored.select(
+                "doc_id",
+                F.expr(
+                    "explode(array({}))".format(", ".join(entries))
+                ).alias("qs"),
+            )
+            .select("doc_id", "qs.query_id", "qs.score")
+            .filter(F.col("score").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            exploded.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "doc_id", "score")
+        )
 
     # --------------------------------------------------------------------
     def _bmw_masks(self, pruned: DataFrame, df_map: dict[str, int], k: int):
@@ -1106,24 +1274,6 @@ class SearchEngine:
         )
 
 
-def _nofm_cover_words(comp: QueryComp, df_map: dict[str, int]) -> list[str] | None:
-    """Pigeonhole candidate cover for a top-level ``NAmong{1<n<m}`` whose
-    children are all Words. Returns the ``m'-n+1`` present children with the
-    smallest df (m' = children whose word is indexed), ``[]`` when fewer
-    than n children are present (no doc can match), or None when the shape
-    does not apply (nested subtrees, filters, NOTs — those keep the
-    full-decode path)."""
-    if not (isinstance(comp, NAmong) and 1 < comp.n < len(comp.among)):
-        return None
-    if not all(isinstance(c, Word) for c in comp.among):
-        return None
-    present = [c.word for c in comp.among if c.word in df_map]
-    if len(present) < comp.n:
-        return []
-    k = len(present) - comp.n + 1
-    return sorted(present, key=lambda t: (df_map[t], t))[:k]
-
-
 def _collect_filter_names(comp: QueryComp) -> set[str]:
     if isinstance(comp, Filter):
         return {comp.name}
@@ -1137,45 +1287,6 @@ def _collect_filter_names(comp: QueryComp) -> set[str]:
     return set()
 
 
-def _select_blocks_intersect(r, cand: np.ndarray) -> np.ndarray:
-    """Keep mask for conjunctive pruning: block i spans ids [first_i,
-    last_i] (stored bounds — NOT inferred from the next block's first,
-    which is invalid after chunk-concatenated merges where per-chunk runs
-    interleave); keep it iff the sorted candidate array has any id in that
-    closed range. Exact decode reduction: a skipped block holds no
-    candidate, and non-candidates cannot pass the conjunctive fold gate."""
-    firsts = np.asarray(r.block_firsts, dtype=np.int64)
-    if firsts.size == 0 or cand.size == 0:
-        return np.zeros(firsts.size, dtype=bool)
-    lasts = np.asarray(r.block_lasts, dtype=np.int64)
-    lo = np.searchsorted(cand, firsts, side="left")
-    hi = np.searchsorted(cand, lasts, side="right")
-    return hi > lo
-
-
-def _select_blocks_topk(r, k: int, k1: float, b: float, avgdl: float) -> np.ndarray:
-    """Greedy block-max selection: visit blocks in descending upper bound,
-    stop once >= k saturations >= the next bound are known. Exact block-max
-    values (computed at build time with identical float math) make this
-    rank-safe: every skipped doc is strictly beaten, within its term, by at
-    least k docs — and under the max-fold, by the same k docs globally."""
-    bmax = np.asarray(r.block_max, dtype=np.float64)
-    nb = bmax.size
-    keep = np.zeros(nb, dtype=bool)
-    order = np.argsort(-bmax, kind="stable")
-    best = np.empty(0, dtype=np.float64)
-    for blk in order:
-        if best.size >= k and bmax[blk] < best[best.size - k]:
-            break
-        keep[blk] = True
-        one = np.zeros(nb, dtype=bool)
-        one[blk] = True
-        _, tfs, dls = decode_postings(
-            r.ids, r.tfs, r.dls, r.block_firsts, r.block_lens,
-            one, r.ids_offs, r.tfs_offs, r.dls_offs,
-        )
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        sat = tf / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
-        best = np.sort(np.concatenate((best, sat)))
-    return keep
+# _select_blocks_intersect / _select_blocks_topk / _nofm_cover_words live in
+# group_eval.py (shared by the executor-side group evaluation) and are
+# imported above under their historical names.

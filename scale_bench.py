@@ -137,12 +137,37 @@ def worker(cpus: int) -> None:
     print(line, flush=True)
 
 
+def make_query_batch(n: int) -> list[str]:
+    """The first 10 are QUERY_BATCH verbatim (comparable across rounds);
+    beyond that, deterministic shape-rotated queries over the head
+    vocabulary (serving-load ladders want many distinct bounded queries —
+    per-query parallelism is the group-eval scale axis)."""
+    from admarus_spark.corpus import _VOCAB
+
+    qs = list(QUERY_BATCH)
+    shapes = ["{a} AND {b}", "{a} {b} {c}", "2({a}, {b}, {c})", "{a} AND NOT {b}"]
+    i = 0
+    while len(qs) < n:
+        a = _VOCAB[(7 * i + 1) % len(_VOCAB)]
+        b = _VOCAB[(11 * i + 3) % len(_VOCAB)]
+        c = _VOCAB[(17 * i + 5) % len(_VOCAB)]
+        if len({a, b, c}) == 3:
+            q = shapes[i % len(shapes)].format(a=a, b=b, c=c)
+            if q not in qs:
+                qs.append(q)
+        i += 1
+    return qs[:n]
+
+
 def query_worker(cpus: int) -> None:
     """Query-only measurement against the index a prior build worker left at
     /tmp/admarus_scale_idx_{cpus}: same warmup + timed ``search_many`` batch
     as ``worker`` but no rebuild, so a query-side change can be re-laddered
     in minutes. The build and query halves of the claim stay comparable
-    because both read the identical persisted index."""
+    because both read the identical persisted index.
+    ``SPARK_GRAFT_QW_NQUERIES`` (default 10 = QUERY_BATCH) sizes the batch —
+    larger batches measure the serving-load regime where per-query
+    parallelism dominates per-batch constants."""
     from admarus_spark.search.engine import SearchEngine
     from admarus_spark.session import get_spark
 
@@ -162,7 +187,8 @@ def query_worker(cpus: int) -> None:
     spark.range(0, n, 1, n).mapInPandas(_warm, "id long").count()
     eng = SearchEngine(spark, idx)
     eng.search("license", 10).collect()
-    qmap = {f"q{i}": q for i, q in enumerate(QUERY_BATCH)}
+    nq = int(os.environ.get("SPARK_GRAFT_QW_NQUERIES", "10"))
+    qmap = {f"q{i}": q for i, q in enumerate(make_query_batch(nq))}
     wand = os.environ.get("SPARK_GRAFT_QW_WAND", "auto")
     eng.search_many(qmap, 10, wand=wand).collect()
     t0 = time.time()
@@ -172,7 +198,13 @@ def query_worker(cpus: int) -> None:
     spark.stop()
     print(
         json.dumps(
-            {"cpus": cpus, "wand": wand, "query_sec": query_sec, "driver": timings}
+            {
+                "cpus": cpus,
+                "wand": wand,
+                "n_queries": nq,
+                "query_sec": query_sec,
+                "driver": timings,
+            }
         ),
         flush=True,
     )
