@@ -19,7 +19,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROUNDS = int(os.environ.get("QL_ROUNDS", "3"))
-CELLS = [(1, "auto"), (4, "auto"), (1, "off"), (4, "off")]
+# QL_CELLS="1:auto,4:auto" restricts the ladder (e.g. auto-only for large-NQ
+# weak-scaling runs where the unpruned baseline would dominate wall time)
+_cells_env = os.environ.get("QL_CELLS", "1:auto,4:auto,1:off,4:off")
+CELLS = [(int(c.split(":")[0]), c.split(":")[1]) for c in _cells_env.split(",")]
 NQ = int(os.environ.get("QL_NQ", "10"))
 OUT_JSON = os.environ.get("QL_OUT", os.path.join(REPO, "BENCH", "QUERY_DECOMP.json"))
 OUT_JSONL = os.environ.get("QL_JSONL", f"/tmp/qdecomp_nq{NQ}.jsonl")

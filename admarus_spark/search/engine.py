@@ -544,8 +544,20 @@ class SearchEngine:
         pass evaluates every member locally (group_eval.evaluate_group:
         rank-safe block pruning with zero driver bytes, the oracle's NumPy
         fold, exact top-k) and emits k rows per member. Driver cost is one
-        plan — no θ probes, no blob fetches, no per-term pivot columns."""
+        plan — no θ probes, no blob fetches, no per-term pivot columns.
+
+        Partition order IS launch order in Spark's scheduler, so groups are
+        keyed largest-estimated-first (LPT): with G skewed groups over C
+        cores, an unlucky order that launches the biggest group last
+        inflates the makespan by up to its whole runtime — measured 40-query
+        ladder batches carry a 10× est spread across 17 components."""
         n = len(groups)
+
+        def _est(comp: list[tuple[str, Query]]) -> int:
+            gterms = {t for _qid, q in comp for t in q.terms() if t in df_map}
+            return sum(df_map[t] for t in gterms)
+
+        groups = sorted(groups, key=_est, reverse=True)
         keys = identity_partition_keys(n)
         members_by_key: dict[int, list[tuple[str, Query]]] = {}
         term_key: dict[str, int] = {}
