@@ -140,6 +140,43 @@ def _bm25_query(query_text: str, k: int = DEFAULT_K):
     return run
 
 
+# Batched execution under the value gate: five mixed-shape postings-only
+# queries through ``SearchEngine.search_many`` — at HEAD defaults these
+# route to the executor-side GROUP-EVAL path (search/group_eval.py: two
+# connected components, {batch,dup} and {spark,stream,window,join,hash}),
+# so the driver's DuckDB compare covers the batched fast path itself, not
+# just its pytest parity with the sequential engine. k is effectively
+# unbounded at the engine (every gated match comes back) and the rounded
+# re-rank picks the displayed top-k, same robustness rule as _bm25_query.
+_BATCH_MEMBERS: dict[str, str] = {
+    "hot": "batch",
+    "conj": "spark AND stream",
+    "quickor": "join hash window",
+    "nofm": "2(spark, stream, window)",
+    "notq": "batch AND NOT dup",
+}
+
+
+def _bm25_batch(k: int = DEFAULT_K):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        eng = _engine(spark, sf_dir)
+        res = eng.search_many(dict(_BATCH_MEMBERS), k=1_000_000_000)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_r"), F.asc("repo"), F.asc("path")
+        )
+        return (
+            res.withColumn("score_r", F.round(F.col("score"), 9))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "path", "score_r")
+            .orderBy("query_id", F.desc("score_r"), F.asc("path"))
+        )
+
+    return run
+
+
 # ----------------------------------------------------------------------
 # DuckDB oracle SQL builders (fulltext core)
 # ----------------------------------------------------------------------
@@ -226,6 +263,48 @@ FROM res r JOIN docs2 d ON d.doc_id = r.doc_id
 ORDER BY round(r.score, 9) DESC, d.source ASC, path ASC
 LIMIT {k}
 """
+
+
+def _bm25_batch_oracle(
+    members: dict[str, tuple[list[str], str, str]], k: int = DEFAULT_K
+) -> str:
+    """One statement for the whole batch: the tokenize/df/idf CTE chain is
+    shared (as the engine shares one postings scan), then per-member sc/res
+    CTEs and a UNION ALL of per-member top-k arms, each with the pinned
+    (rounded score desc, source, path) selection rule."""
+    sc_parts, arms = [], []
+    for qid, (terms, gate, score) in members.items():
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        s_cols = ",\n         ".join(
+            f"coalesce(max(CASE WHEN tft.term = '{t}' THEN i.idf * tft.tf / "
+            f"(tft.tf + {K1} * ({1.0 - B} + {B} * dl.dl / (SELECT avgdl FROM st))) END), 0.0) AS s_{j}"
+            for j, t in enumerate(terms)
+        )
+        sc_parts.append(f"""
+sc_{qid} AS (
+  SELECT tft.doc_id,
+         {s_cols}
+  FROM tft
+  JOIN dl USING (doc_id)
+  JOIN idfs i ON i.term = tft.term
+  WHERE tft.term IN ({in_list})
+  GROUP BY tft.doc_id
+),
+res_{qid} AS (
+  SELECT sc.doc_id, {score} AS score FROM sc_{qid} sc WHERE {gate}
+)""")
+        arms.append(f"""
+(SELECT '{qid}' AS query_id,
+        'doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0') AS path,
+        round(r.score, 9) AS score_r
+ FROM res_{qid} r JOIN documents d ON d.doc_id = r.doc_id
+ ORDER BY round(r.score, 9) DESC, d.source ASC, path ASC
+ LIMIT {k})""")
+    return (
+        f"WITH {_TOK_CTES},{','.join(sc_parts)}\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY query_id, score_r DESC, path"
+    )
 
 
 def _bmp_replace_src(sql: str, src: str) -> str:
@@ -534,6 +613,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_nofm": _bm25_query("2(spark, stream, window)"),
     "bm25_not": _bm25_query("batch AND NOT dup"),
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
+    "bm25_batch": _bm25_batch(),
     "bm25_after_update": _bm25_after_update_query("batch zzupdated"),
     "bm25_grouped": _bm25_grouped("batch"),
     "bm25_grouped_anchored": _bm25_grouped_anchored("spark AND stream"),
@@ -595,6 +675,21 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_lang_filter": _bm25_oracle(
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
     ),
+    "bm25_batch": _bm25_batch_oracle({
+        "hot": (["batch"], "s_0 > 0", "s_0"),
+        "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
+        "quickor": (
+            ["join", "hash", "window"],
+            "greatest(s_0, s_1, s_2) > 0",
+            "greatest(s_0, s_1, s_2)",
+        ),
+        "nofm": (
+            ["spark", "stream", "window"],
+            "((s_0 > 0)::INT + (s_1 > 0)::INT + (s_2 > 0)::INT) >= 2",
+            "(s_0 + s_1 + s_2 - least(s_0, s_1, s_2)) / 2",
+        ),
+        "notq": (["batch", "dup"], "s_0 > 0 AND s_1 = 0", "s_0 / 2"),
+    }),
     "bm25_after_update": _bm25_after_update_oracle(
         ["batch", "zzupdated"],
         gate="greatest(s_0, s_1) > 0",
