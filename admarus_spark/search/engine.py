@@ -51,6 +51,18 @@ from .group_eval import (
 RESULT_SCHEMA = "doc_id long, score double, repo string, path string, commit string, lang string"
 
 
+def _sum_df(rows) -> dict[str, int]:
+    """df per term as the SUM over its posting rows: an updated-but-not-yet-
+    compacted index stores one row per (term, generation) — the incremental
+    path APPENDS delta postings instead of rewriting buckets — and idf must
+    see the term's TOTAL df (generations hold disjoint doc ids, so the sum
+    is exact)."""
+    out: dict[str, int] = {}
+    for r in rows:
+        out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
+    return out
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -178,10 +190,7 @@ class SearchEngine:
         self.last_group_eval: dict | None = None
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
-            self.df_cache = {
-                r["term"]: int(r["df"])
-                for r in self.postings.select("term", "df").collect()
-            }
+            self.df_cache = _sum_df(self.postings.select("term", "df").collect())
 
     # --------------------------------------------------------------------
     def refresh(self) -> None:
@@ -307,7 +316,7 @@ class SearchEngine:
             if self.df_cache is not None:
                 df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
             else:
-                df_map = {r["term"]: int(r["df"]) for r in pruned.select("term", "df").collect()}
+                df_map = _sum_df(pruned.select("term", "df").collect())
             # block skipping is rank-safe ONLY for pure max-folds with no
             # metadata filters: on AND/n-of-m/NOT shapes a skipped block
             # zeroes a term's pivot column for docs still present via another
@@ -455,12 +464,11 @@ class SearchEngine:
                     df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
                 else:
                     buckets = sorted({term_bucket(t, self.n_buckets) for t in scan_terms})
-                    df_map = {
-                        r["term"]: int(r["df"])
-                        for r in self.postings.filter(
+                    df_map = _sum_df(
+                        self.postings.filter(
                             F.col("tb").isin(buckets) & F.col("term").isin(scan_terms)
                         ).select("term", "df").collect()
-                    }
+                    )
                 if df_map:
                     self.last_batch_timings["prep_sec"] = time.time() - t_start
                     ge_groups, pivot_members = self._route_batch_members(

@@ -19,13 +19,18 @@ The reference re-crawls periodically, dedups against its ``listed`` /
 - New docs get doc ids ``max_id + 1 ...`` in lexicographic (repo, path)
   order *within the delta* — arrival-order semantics, exactly the
   reference's ``LocalCid`` counter behavior across refresh rounds.
-- New postings are encoded as self-contained blocks and APPENDED per term:
-  because new ids are strictly greater than all old ids and blocks carry
-  absolute first-ids, the merge is block-list concatenation. Only the
-  affected term-hash buckets are rewritten (dynamic partition overwrite).
-- Stats are recomputed; ``bm_avgdl`` keeps the value the block-max bounds
-  were computed with, so the engine disables block-skipping when the bounds
-  went stale (rank-safety) — a full rebuild re-tightens them.
+- New postings are encoded as self-contained blocks and APPENDED as a new
+  GENERATION: fresh parquet files land inside the existing ``tb``
+  partitions and no old bucket is read or rewritten — update cost is
+  O(delta), never O(index). A term updated n times simply has n+1 posting
+  rows; readers concatenate them (generations hold disjoint doc ids, new
+  strictly greater than old), per-term ``df`` is the sum over rows, and
+  driver-side BMW masks bail to the rank-safe per-row greedy on multi-row
+  terms. ``compact()`` folds generations back to one row per term.
+- Stats are kept as O(delta) running totals; ``bm_avgdl`` keeps the value
+  the block-max bounds were computed with, so the engine disables
+  block-skipping when the bounds went stale (rank-safety) — ``compact()``
+  or a full rebuild re-tightens them.
 
 ``foreach_batch_handler`` adapts ``update`` to Structured Streaming's
 ``foreachBatch`` for a ``readStream`` source of document rows.
@@ -239,38 +244,55 @@ class IncrementalIndexer:
             .persist()  # consumed twice: affected-bucket collect + the merge
         )
 
-        # merge per term within affected buckets only: new ids > all old ids,
-        # blocks are self-contained -> concatenation with offset shifts
+        # GENERATIONAL APPEND (r5): the delta's encoded postings are written
+        # as NEW parquet files inside the existing tb partitions — no old
+        # bucket is read, merged or rewritten. A realistic-vocabulary delta
+        # touches essentially EVERY bucket (its vocabulary hashes uniformly),
+        # so the former read-merge-overwrite made update cost O(index), not
+        # O(delta) — at 100 TB that is a full-index rewrite per crawl tick.
+        # A term updated n times since the last compaction simply has n+1
+        # rows (generations) in its bucket; every reader handles that:
+        # decode paths concatenate per-term rows (generations hold disjoint
+        # doc ids, new > old), df is summed per term (engine._sum_df), and
+        # the driver-side BMW mask builder bails to the rank-safe per-row
+        # greedy on multi-row terms (_collect_block_meta). compact() folds
+        # generations back to one row per term and re-tightens the bounds.
         affected = sorted(
             r["tb"] for r in new_posts.select("tb").distinct().collect()
         )
         if affected:
-            old_aff = old.filter(F.col("tb").isin(affected))
-            merged = _concat_postings(old_aff, new_posts)
-
-            # dynamic partition overwrite is scoped to THIS write: a
-            # session-wide set-and-forget would make a later full rebuild
-            # into the same index_dir leave stale tb partitions from the
-            # previous build on disk
-            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    merged.repartition(len(affected), "tb")
-                    .sortWithinPartitions("term")
-                    .write.mode("overwrite")
-                    .partitionBy("tb")
-                    .parquet(paths.postings)
-                )
-            finally:
-                if prev_mode is None:
-                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-                else:
-                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            (
+                new_posts.write.mode("append")
+                .partitionBy("tb")
+                .parquet(paths.postings)
+            )
+            # marker: generations pending fold — compact() triggers on this
+            # even when no tombstone exists (a new-docs-only append still
+            # fragments posting lists). Content = update count, append-only.
+            with open(os.path.join(self.index_dir, "generations"), "a") as f:
+                f.write(f"{input_token}\n")
         # else: every new doc tokenized to nothing (sub-3-char content) —
-        # postings untouched; repartition(0) on the empty merge would raise.
-        # The docs still enter doc_dict below with doc_len 0 (their marker
-        # rows), exactly like zero-token docs in a full build.
+        # postings untouched. The docs still enter doc_dict below with
+        # doc_len 0 (their marker rows), exactly like zero-token docs in a
+        # full build.
+
+        # Per-bucket blooms of the DELTA's terms, collected NOW — before the
+        # doc_dict append below: new_posts' lineage anti-joins doc_dict, and
+        # Spark's recacheByPath would re-materialize the persisted plan
+        # against the post-append table (the delta rows then dedup against
+        # THEMSELVES and the recompute is empty). Driver traffic is bounded:
+        # |affected| × FILTER_BITS/8 (125 KB) rows.
+        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (tb,) = key
+            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
+            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+
+        delta_summ = (
+            new_posts.select("tb", "term")
+            .groupBy("tb")
+            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
+            .collect()
+        )
         new_posts.unpersist()
 
         # append to doc_dict (per-doc length from the tokenize marker rows —
@@ -341,21 +363,32 @@ class IncrementalIndexer:
         )
         spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-        # refresh summaries for affected buckets + keep the rest
-        post = spark.read.parquet(paths.postings)
-
-        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (tb,) = key
-            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
-            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
-
-        fresh_summ = (
-            post.filter(F.col("tb").isin(affected))
-            .select("tb", "term")
-            .groupBy("tb")
-            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
-        )
-        old_terms = spark.read.parquet(paths.summaries).filter(
+        # refresh summaries for affected buckets: O(delta) OR-merge — the
+        # stored per-bucket bloom already covers every pre-existing term and
+        # update() only ADDS terms, so OR-ing in the delta-term blooms
+        # (collected above) is EXACT (inserting a word into a bloom IS
+        # bit-OR of its pattern; only compact()/rebuild remove terms, and
+        # they recompute). The former recompute scanned the term column of
+        # every affected bucket — O(index vocabulary) per update once a
+        # realistic delta touches all buckets.
+        stored_summ = spark.read.parquet(paths.summaries)
+        old_aff = {
+            int(r["tb"]): np.frombuffer(r["filter"], dtype=np.uint8)
+            for r in stored_summ.filter(
+                (F.col("kind") == "terms") & F.col("tb").isin(affected)
+            ).collect()
+        }
+        merged_rows = []
+        for r in delta_summ:
+            acc = np.frombuffer(r["filter"], dtype=np.uint8).copy()
+            prev = old_aff.get(int(r["tb"]))
+            if prev is not None:
+                acc |= prev
+            merged_rows.append((int(r["tb"]), "terms", acc.tobytes()))
+        fresh_summ = spark.createDataFrame(
+            merged_rows, "tb int, kind string, filter binary"
+        ) if merged_rows else spark.createDataFrame([], "tb int, kind string, filter binary")
+        old_terms = stored_summ.filter(
             (F.col("kind") == "terms") & ~F.col("tb").isin(affected)
         )
         terms_all = old_terms.unionByName(fresh_summ).persist()
@@ -372,11 +405,7 @@ class IncrementalIndexer:
             *[c for c in ("lang", "repo") if c in with_ids.columns]
         )
         delta_bytes, _ = meta_bloom_bytes(delta_dd)
-        old_meta = (
-            spark.read.parquet(paths.summaries)
-            .filter(F.col("kind") == "meta")
-            .collect()
-        )
+        old_meta = stored_summ.filter(F.col("kind") == "meta").collect()
         meta_acc = np.frombuffer(delta_bytes, dtype=np.uint8).copy()
         for r in old_meta:
             meta_acc |= np.frombuffer(r["filter"], dtype=np.uint8)
@@ -420,30 +449,40 @@ class IncrementalIndexer:
         evicts dead entries as it pages the index. Steps, all over the
         compact posting/dictionary representation:
 
-        - postings: decode each term's list, drop tombstoned ids, correct
-          ``df``, re-encode sorted with block-max bounds recomputed under the
-          LIVE avgdl (terms whose postings die entirely are dropped);
+        - postings: decode each term's generations into one list, drop
+          tombstoned ids, correct ``df``, re-encode sorted with block-max
+          bounds recomputed under the LIVE avgdl (terms whose postings die
+          entirely are dropped) — the append-only update() fragments a term
+          into one row per generation; this pass folds them back to ONE;
         - doc_dict: drop dead rows;
         - stats: ``bm_avgdl`` set to the live avgdl — the engine's
           staleness check passes again, so block-max WAND re-enables;
         - summaries: per-bucket blooms + meta + global rollup rebuilt;
-        - tombstones cleared; stage-2 metrics patched (n_terms/n_postings).
+        - tombstones + the ``generations`` marker cleared; stage-2 metrics
+          patched (n_terms/n_postings).
 
         Scale shape: one pass over the postings table (mapInPandas, Arrow
         batches, NumPy inner loop), dead ids broadcast (bounded by changes
-        since the last compaction), writes partition-aligned with the
-        existing ``tb`` layout — no shuffle anywhere."""
+        since the last compaction). With pending generations the pass is
+        preceded by ONE tb-keyed shuffle (append updates leave a term's
+        generations in different files, so same-term rows must co-locate to
+        fold); a tombstone-only compaction keeps the shuffle-free
+        partition-aligned read."""
         spark = self.spark
         paths = IndexPaths(self.index_dir)
         t0 = time.time()
         tomb_path = os.path.join(self.index_dir, "tombstones")
-        if not os.path.exists(tomb_path):
+        gen_path = os.path.join(self.index_dir, "generations")
+        has_gens = os.path.exists(gen_path)
+        if not os.path.exists(tomb_path) and not has_gens:
             return {"dead": 0, "noop": True, "seconds": time.time() - t0}
-        dead = np.array(
-            sorted(int(r["doc_id"]) for r in spark.read.parquet(tomb_path).collect()),
-            dtype=np.int64,
-        )
-        if dead.size == 0:
+        dead = np.empty(0, dtype=np.int64)
+        if os.path.exists(tomb_path):
+            dead = np.array(
+                sorted(int(r["doc_id"]) for r in spark.read.parquet(tomb_path).collect()),
+                dtype=np.int64,
+            )
+        if dead.size == 0 and not has_gens:
             shutil.rmtree(tomb_path, ignore_errors=True)
             return {"dead": 0, "noop": True, "seconds": time.time() - t0}
 
@@ -466,7 +505,9 @@ class IncrementalIndexer:
             canonical per-term sorted lists, one encode_postings_many —
             per-term Python calls (~130 us each x the bucket vocabulary)
             would otherwise dominate the sweep, exactly as they did in the
-            pre-r3 build stage."""
+            pre-r3 build stage. Runs are keyed by TERM (factorize), not by
+            input row, so a term's generations (multiple rows after append
+            updates) fold into one output row with a summed df."""
             from ..index.codec import encode_postings_many
 
             dead_ids = bc_dead.value
@@ -484,8 +525,9 @@ class IncrementalIndexer:
                     b"".join(pdf["ids"]), b"".join(pdf["tfs"]), b"".join(pdf["dls"]),
                     firsts_all, lens_all,
                 )
+                codes, uniq = pd.factorize(pdf["term"], sort=False)
                 dfs_row = pdf["df"].to_numpy(np.int64)
-                value_row = np.repeat(np.arange(n_rows, dtype=np.int64), dfs_row)
+                value_row = np.repeat(codes.astype(np.int64), dfs_row)
                 if ids_v.size and dead_ids.size:
                     pos = np.searchsorted(dead_ids, ids_v)
                     pos[pos == dead_ids.size] = dead_ids.size - 1
@@ -503,10 +545,13 @@ class IncrementalIndexer:
                     ids_v[order], tfs_v[order], dls_v[order], starts, block_size,
                     avgdl=avgdl,
                 )
-                rows_idx = vr_s[starts]
+                code_idx = vr_s[starts]
+                tb_row = pdf["tb"].to_numpy(np.int64)
+                tb_of_code = np.empty(len(uniq), dtype=np.int64)
+                tb_of_code[codes] = tb_row  # generations share the term's tb
                 yield pd.DataFrame(
                     {
-                        "term": pdf["term"].to_numpy()[rows_idx],
+                        "term": np.asarray(uniq, dtype=object)[code_idx],
                         "df": cols["df"],
                         "ids": cols["ids"],
                         "tfs": cols["tfs"],
@@ -518,7 +563,7 @@ class IncrementalIndexer:
                         "tfs_offs": cols["tfs_offs"],
                         "dls_offs": cols["dls_offs"],
                         "block_max": cols["block_max"],
-                        "tb": pdf["tb"].to_numpy(np.int64)[rows_idx].astype(np.int32),
+                        "tb": tb_of_code[code_idx].astype(np.int32),
                     }
                 )
 
@@ -527,6 +572,15 @@ class IncrementalIndexer:
             raise ValueError(
                 "legacy index without block_lasts metadata: run a full rebuild"
             )
+        if has_gens:
+            # append updates leave a term's generations in SEPARATE files,
+            # and file-aligned input splits would feed them to different
+            # rewrite partitions — one tb-keyed exchange co-locates them
+            # (same-term rows always share tb). Tombstone-only compactions
+            # skip this: one row per term is guaranteed, splits stay aligned.
+            n_b = int(post.agg(F.max("tb")).collect()[0][0] or 0) + 1
+            parallelism = spark.sparkContext.defaultParallelism
+            post = post.repartition(max(1, min(max(parallelism, 1) * 2, n_b)), "tb")
         new_post = post.mapInPandas(rewrite, POSTINGS_SCHEMA + ", tb int")
         # input splits are partition-pruned per tb, so the partitionBy write
         # needs no shuffle; swap keeps readers consistent
@@ -579,6 +633,8 @@ class IncrementalIndexer:
         terms_summ.unpersist()
 
         shutil.rmtree(tomb_path, ignore_errors=True)
+        if has_gens:
+            os.remove(gen_path)
         n_terms = post_now.count()
         n_postings = int(post_now.agg(F.sum("df")).collect()[0][0] or 0)
         from ..index import checkpoint as ckpt
@@ -618,77 +674,3 @@ def _swap_dir(path: str, next_path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _concat_postings(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Per-term merge of old + new encoded postings (new ids strictly
-    greater): blob concat with byte-offset shifts.
-
-    Grouped per BUCKET, not per term: an affected bucket carries its whole
-    vocabulary through this merge, and a per-(term, tb) grouped-map would
-    pay Spark/Arrow group overhead x |bucket vocabulary| (10^4-10^5 groups
-    per bucket on realistic dictionaries — the r3 anti-pattern). Inside,
-    the single-generation terms (everything the delta did not touch — the
-    overwhelming majority) pass through without their blobs ever entering
-    Python; only delta-touched terms (bounded by the delta's vocabulary)
-    take the per-term concat loop."""
-    o = old.withColumn("gen", F.lit(0))
-    n = new.withColumn("gen", F.lit(1))
-    both = o.unionByName(n)
-    keep_cols = [
-        "term", "df", "ids", "tfs", "dls", "block_firsts", "block_lasts",
-        "block_lens", "ids_offs", "tfs_offs", "dls_offs", "block_max",
-    ]
-
-    def merge_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (tb,) = key
-        from ..index.codec import merge_encoded_chunks
-
-        terms = pdf["term"].to_numpy()
-        order = np.lexsort((pdf["gen"].to_numpy(), terms))
-        terms_s = terms[order]
-        bounds = np.flatnonzero(terms_s[1:] != terms_s[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [terms_s.size]))
-        single = (ends - starts) == 1
-        frames = []
-        if single.any():
-            frames.append(pdf.iloc[order[starts[single]]][keep_cols])
-        merged_rows = []
-        for ti in np.flatnonzero(~single):
-            idxs = order[starts[ti] : ends[ti]]  # gen-ascending within term
-            sub = pdf.iloc[idxs]
-            chunks = [
-                {
-                    "ids_blob": r.ids, "tfs_blob": r.tfs, "dls_blob": r.dls,
-                    "block_firsts": list(r.block_firsts),
-                    "block_lasts": list(r.block_lasts),
-                    "block_lens": list(r.block_lens),
-                    "ids_offs": list(r.ids_offs), "tfs_offs": list(r.tfs_offs),
-                    "dls_offs": list(r.dls_offs),
-                }
-                for r in sub.itertuples()
-            ]
-            m = merge_encoded_chunks(chunks)
-            merged_rows.append(
-                {
-                    "term": terms_s[starts[ti]],
-                    "df": int(sub["df"].sum()),
-                    "ids": m["ids_blob"], "tfs": m["tfs_blob"], "dls": m["dls_blob"],
-                    "block_firsts": m["block_firsts"],
-                    "block_lasts": m["block_lasts"],
-                    "block_lens": m["block_lens"],
-                    "ids_offs": m["ids_offs"], "tfs_offs": m["tfs_offs"],
-                    "dls_offs": m["dls_offs"],
-                    "block_max": [x for r in sub.itertuples() for x in r.block_max],
-                }
-            )
-        if merged_rows:
-            frames.append(pd.DataFrame(merged_rows)[keep_cols])
-        out = (
-            pd.concat(frames, ignore_index=True)
-            if len(frames) > 1
-            else frames[0].reset_index(drop=True)
-        )
-        out["tb"] = int(tb)
-        return out
-
-    return both.groupBy("tb").applyInPandas(merge_bucket, POSTINGS_SCHEMA + ", tb int")

@@ -359,3 +359,140 @@ def test_zero_token_delta_is_safe(spark, tmp_path):
     want = sorted((opaths[i], s) for i, s in oracle.search("license", 10**6))
     assert got == want
     assert before  # base search sanity (non-empty)
+
+
+def test_update_appends_without_rewriting_buckets(spark, tmp_path):
+    """The r5 generational append: update() must not read, rewrite or delete
+    ANY pre-existing postings file — O(delta) write amplification. Every
+    old parquet part must survive byte-identical (same path, same mtime,
+    same size), with new part files appended inside the tb partitions."""
+    import os
+
+    base = make_docs_corpus(200, seed=11)
+    d = str(tmp_path / "idx_app")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="app-base"
+    )
+
+    def part_files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = part_files(f"{d}/postings")
+    extra = make_docs_corpus(80, seed=77)
+    extra["path"] = "gen2/" + extra["path"]
+    IncrementalIndexer(spark, d).update(spark.createDataFrame(extra), "app-delta")
+    after = part_files(f"{d}/postings")
+    assert set(before) <= set(after), "an old postings file was deleted"
+    for p, sig in before.items():
+        assert after[p] == sig, f"old postings file rewritten: {p}"
+    assert len(after) > len(before), "no new generation files appended"
+    assert os.path.exists(f"{d}/generations")
+
+
+def test_multi_generation_search_parity(spark, tmp_path):
+    """Two new-docs-only updates (NO tombstones, NO compact): shared terms
+    hold one posting row per generation, df must be the SUM over rows, and
+    results must equal the oracle over the union corpus with wand auto AND
+    off (per-row pruning is rank-safe)."""
+    base = make_docs_corpus(150, seed=5)
+    g2 = make_docs_corpus(60, seed=6)
+    g2["path"] = "gen2/" + g2["path"]
+    g3 = make_docs_corpus(40, seed=7)
+    g3["path"] = "gen3/" + g3["path"]
+    d = str(tmp_path / "idx_gens")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="g-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    inc.update(spark.createDataFrame(g2), "g-d2")
+    inc.update(spark.createDataFrame(g3), "g-d3")
+
+    import os
+
+    assert not os.path.exists(f"{d}/tombstones")
+    post = spark.read.parquet(f"{d}/postings")
+    multi = post.groupBy("term").count().filter("count > 1").count()
+    assert multi > 0, "expected multi-generation terms"
+    # df must SUM across generations (engine._sum_df)
+    from pyspark.sql import functions as F
+
+    df_rows = post.filter(F.col("term") == "license").select("df").collect()
+    eng = SearchEngine(spark, d)
+    assert eng.df_cache is None or (
+        eng.df_cache["license"] == sum(int(r["df"]) for r in df_rows)
+    )
+
+    union = pd.concat([base, g2, g3], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    for q in QUERIES:
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        for wand in ("auto", "off"):
+            got = path_scores(eng.search(q, 10**6, wand=wand))
+            assert got == want, (q, wand)
+    # batched twin over the same index (routes group-eval or pivot by
+    # wand_safe; either way parity must hold)
+    res = eng.search_many({f"q{i}": q for i, q in enumerate(QUERIES)}, k=10)
+    rows = res.collect()
+    for i, q in enumerate(QUERIES):
+        got = sorted(
+            (r["path"], r["score"]) for r in rows if r["query_id"] == f"q{i}"
+        )
+        want = sorted(
+            (opaths[di], s) for di, s in oracle.search(q, 10)
+        )
+        assert got == want, ("batched", q)
+
+
+def test_compact_folds_generations_without_tombstones(spark, tmp_path):
+    """compact() must trigger on the generations marker alone (new-docs-only
+    appends leave no tombstone), fold every term back to ONE row, re-enable
+    WAND, and leave results float64-identical to a fresh build."""
+    import os
+
+    base = make_docs_corpus(150, seed=8)
+    g2 = make_docs_corpus(60, seed=9)
+    g2["path"] = "gen2/" + g2["path"]
+    d = str(tmp_path / "idx_fold")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="f-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    inc.update(spark.createDataFrame(g2), "f-d2")
+    assert os.path.exists(f"{d}/generations")
+    cm = inc.compact()
+    assert cm.get("noop") is not True
+    assert not os.path.exists(f"{d}/generations")
+
+    post = spark.read.parquet(f"{d}/postings")
+    assert post.groupBy("term").count().filter("count > 1").count() == 0
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is True
+
+    union = pd.concat([base, g2], ignore_index=True)
+    d2 = str(tmp_path / "idx_fold_fresh")
+    IndexBuilder(spark, d2, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(union), input_token="f-fresh"
+    )
+    df_c = {
+        (r["term"],): r["df"]
+        for r in post.select("term", "df").collect()
+    }
+    df_f = {
+        (r["term"],): r["df"]
+        for r in spark.read.parquet(f"{d2}/postings").select("term", "df").collect()
+    }
+    assert df_c == df_f
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    for q in QUERIES:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
