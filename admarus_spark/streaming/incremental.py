@@ -70,6 +70,14 @@ class IncrementalIndexer:
     # fraction of the live corpus — bounds the WAND-disabled window and the
     # df drift of a long-running incremental deployment
     auto_compact_frac: float | None = None
+    # when set, update() triggers compact() once this many generational
+    # appends are pending (the `generations` marker line count) — bounds
+    # posting-list fragmentation for new-docs-only crawl loops, whose
+    # updates never tombstone anything and so never trip the fraction
+    # trigger above. An un-compacted term costs one posting row per
+    # generation at read time (readers concatenate), so the read
+    # amplification is exactly the pending-generation count.
+    auto_compact_gens: int | None = None
 
     def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
         spark = self.spark
@@ -430,11 +438,18 @@ class IncrementalIndexer:
             "seconds": time.time() - t0,
         }
         n_dead = len(dead_prev) + n_changed
-        if (
+        trigger = (
             self.auto_compact_frac is not None
             and n_docs
             and n_dead / n_docs >= self.auto_compact_frac
-        ):
+        )
+        if not trigger and self.auto_compact_gens is not None:
+            gen_path = os.path.join(self.index_dir, "generations")
+            if os.path.exists(gen_path):
+                with open(gen_path) as f:
+                    pending = sum(1 for _ in f)
+                trigger = pending >= self.auto_compact_gens
+        if trigger:
             out["compaction"] = self.compact()
         return out
 

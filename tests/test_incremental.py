@@ -496,3 +496,42 @@ def test_compact_folds_generations_without_tombstones(spark, tmp_path):
         got = path_scores(eng.search(q, 10**6))
         want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
         assert got == want, q
+
+
+def test_auto_compaction_on_pending_generations(spark, tmp_path):
+    """auto_compact_gens bounds posting fragmentation for new-docs-only
+    crawl loops: no update tombstones anything (the fraction trigger never
+    fires), but the SECOND pending generation trips the count trigger and
+    compact() folds the index back to one row per term."""
+    import os
+
+    base = make_docs_corpus(100, seed=31)
+    d = str(tmp_path / "idx_gauto")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="ga-base"
+    )
+    inc = IncrementalIndexer(spark, d, auto_compact_frac=0.5, auto_compact_gens=2)
+
+    g2 = make_docs_corpus(40, seed=32)
+    g2["path"] = "gen2/" + g2["path"]
+    m1 = inc.update(spark.createDataFrame(g2), input_token="ga-d2")
+    assert "compaction" not in m1  # one pending generation: below threshold
+    assert os.path.exists(f"{d}/generations")
+
+    g3 = make_docs_corpus(40, seed=33)
+    g3["path"] = "gen3/" + g3["path"]
+    m2 = inc.update(spark.createDataFrame(g3), input_token="ga-d3")
+    assert m2.get("compaction", {}).get("noop") is not True
+    assert not os.path.exists(f"{d}/generations")
+
+    post = spark.read.parquet(f"{d}/postings")
+    assert post.groupBy("term").count().filter("count > 1").count() == 0
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is True
+    union = pd.concat([base, g2, g3], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    for q in QUERIES[:3]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
