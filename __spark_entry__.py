@@ -120,6 +120,62 @@ def _bm25_after_update_query(query_text: str, k: int = DEFAULT_K):
     return run
 
 
+_GEN_SUFFIX = " zzgen zzgen"
+_GEN_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _engine_multigen(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """The r5 generational read path under the driver's value gate: build
+    the base index, append a NEW-DOCS delta (every doc_id % 13 == 5
+    re-lands under a gen2/ path with ``_GEN_SUFFIX``'d content) through
+    ``IncrementalIndexer.update()``, and do NOT compact — shared terms hold
+    one posting row per generation, so the engine must concatenate rows,
+    SUM df across generations (engine._sum_df) and keep stats as running
+    totals to match a first-principles oracle over the union corpus.
+    Idempotent across driver runs: the base build resumes from its lineage
+    checkpoint and a re-applied delta dedups to n_new == 0 on (repo, path)
+    + content sha, returning before any postings write."""
+    if sf_dir not in _GEN_ENGINES:
+        from admarus_spark.streaming.incremental import IncrementalIndexer
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        idx = f"/tmp/admarus_entry_idx/{tag}_gen"
+        IndexBuilder(spark, idx, n_buckets=16, salt_chunks=8).build(
+            _docs_shape(spark, sf_dir), input_token=f"testdata-gen-base:{sf_dir}"
+        )
+        d = _documents(spark, sf_dir).filter(F.col("doc_id") % 13 == 5)
+        delta = d.select(
+            F.col("source").alias("repo"),
+            F.concat(
+                F.lit("gen2/doc/"), F.lpad(F.col("doc_id").cast("string"), 10, "0")
+            ).alias("path"),
+            F.substring(
+                F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":gen")), 256), 1, 40
+            ).alias("commit"),
+            F.col("lang"),
+            F.concat(F.col("text"), F.lit(_GEN_SUFFIX)).alias("content"),
+        )
+        IncrementalIndexer(spark, idx).update(
+            delta, input_token=f"testdata-gen-delta:{sf_dir}"
+        )
+        _GEN_ENGINES[sf_dir] = SearchEngine(spark, idx)
+    return _GEN_ENGINES[sf_dir]
+
+
+def _bm25_multigen_query(query_text: str, k: int = DEFAULT_K):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine_multigen(spark, sf_dir)
+        res = eng.search(query_text, None)
+        return (
+            res.withColumn("score_r", F.round(F.col("score"), 9))
+            .orderBy(F.desc("score_r"), F.asc("repo"), F.asc("path"))
+            .limit(k)
+            .select("path", "score_r")
+        )
+
+    return run
+
+
 def _bm25_query(query_text: str, k: int = DEFAULT_K):
     """Engine search -> (path, score_r), ordered/limited on the rounded score
     with (source, path) tie-break — the exact rule the SQL oracle uses.
@@ -261,6 +317,33 @@ SELECT 'doc/' || lpad(CAST(r.doc_id AS VARCHAR), 10, '0') AS path,
        round(r.score, 9) AS score_r
 FROM res r JOIN docs2 d ON d.doc_id = r.doc_id
 ORDER BY round(r.score, 9) DESC, d.source ASC, path ASC
+LIMIT {k}
+"""
+
+
+def _bm25_multigen_oracle(terms: list[str], gate: str, score: str, k: int = DEFAULT_K) -> str:
+    """First-principles BM25 over the POST-APPEND corpus (base docs plus the
+    gen2 delta as rows with offset ids and gen2/ paths), matching the Spark
+    entry's un-compacted multi-generation index: df/idf/avgdl over the
+    union, so a reader that missed a generation (or double-counted df)
+    would hash-mismatch."""
+    docs2 = f"""docs2 AS (
+  SELECT doc_id, lang, source, text,
+         'doc/' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS path
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000000, lang, source, text || '{_GEN_SUFFIX}',
+         'gen2/doc/' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS path
+  FROM documents WHERE doc_id % 13 = 5
+),
+"""
+    body = _bmp_replace_src(_bm25_res_ctes(terms, gate, score), "docs2")
+    body = body.replace("WITH ", "WITH " + docs2, 1)
+    return f"""
+{body}
+SELECT d.path AS path, round(r.score, 9) AS score_r
+FROM res r JOIN docs2 d ON d.doc_id = r.doc_id
+ORDER BY round(r.score, 9) DESC, d.source ASC, d.path ASC
 LIMIT {k}
 """
 
@@ -615,6 +698,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
     "bm25_batch": _bm25_batch(),
     "bm25_after_update": _bm25_after_update_query("batch zzupdated"),
+    "bm25_multigen": _bm25_multigen_query("batch zzgen"),
     "bm25_grouped": _bm25_grouped("batch"),
     "bm25_grouped_anchored": _bm25_grouped_anchored("spark AND stream"),
     "bm25_grouped_walk": _bm25_grouped_walk("batch"),
@@ -692,6 +776,11 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     }),
     "bm25_after_update": _bm25_after_update_oracle(
         ["batch", "zzupdated"],
+        gate="greatest(s_0, s_1) > 0",
+        score="greatest(s_0, s_1)",
+    ),
+    "bm25_multigen": _bm25_multigen_oracle(
+        ["batch", "zzgen"],
         gate="greatest(s_0, s_1) > 0",
         score="greatest(s_0, s_1)",
     ),
