@@ -188,6 +188,10 @@ class SearchEngine:
         self.last_bmw: dict | None = None
         self.last_batch_prune: dict | None = None
         self.last_group_eval: dict | None = None
+        # tombstoned ids pinned driver-side, lazily (bounded by design: the
+        # set holds changed-doc old generations + crash-recovery orphans and
+        # compact() clears it) — feeds the live-df correction below
+        self._dead_cache: np.ndarray | None = None
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = _sum_df(self.postings.select("term", "df").collect())
@@ -317,6 +321,8 @@ class SearchEngine:
                 df_map = {t: self.df_cache[t] for t in scan_terms if t in self.df_cache}
             else:
                 df_map = _sum_df(pruned.select("term", "df").collect())
+            if self.tombstones is not None and df_map:
+                df_map = self._live_df_map(pruned, df_map)
             # block skipping is rank-safe ONLY for pure max-folds with no
             # metadata filters: on AND/n-of-m/NOT shapes a skipped block
             # zeroes a term's pivot column for docs still present via another
@@ -468,6 +474,14 @@ class SearchEngine:
                         self.postings.filter(
                             F.col("tb").isin(buckets) & F.col("term").isin(scan_terms)
                         ).select("term", "df").collect()
+                    )
+                if self.tombstones is not None and df_map:
+                    buckets = sorted({term_bucket(t, self.n_buckets) for t in df_map})
+                    df_map = self._live_df_map(
+                        self.postings.filter(
+                            F.col("tb").isin(buckets) & F.col("term").isin(list(df_map))
+                        ),
+                        df_map,
                     )
                 if df_map:
                     self.last_batch_timings["prep_sec"] = time.time() - t_start
@@ -767,6 +781,67 @@ class SearchEngine:
                 return None
             by_term[r["term"]] = r
         return by_term
+
+    def _dead_ids_np(self) -> np.ndarray:
+        if self._dead_cache is None:
+            if self.tombstones is None:
+                self._dead_cache = np.empty(0, dtype=np.int64)
+            else:
+                self._dead_cache = np.array(
+                    sorted(int(r["doc_id"]) for r in self.tombstones.collect()),
+                    dtype=np.int64,
+                )
+        return self._dead_cache
+
+    def _live_df_map(self, pruned: DataFrame, df_map: dict[str, int]) -> dict[str, int]:
+        """EXACT per-term df while tombstones exist. Stored df counts dead
+        generations (update() never reads old postings — that is what makes
+        it O(delta)), which drifts idf and can even flip it negative once a
+        term's dead postings outnumber the live corpus (df > N ⇒ ln(<1)):
+        scores go non-positive and the result gate empties. This pass
+        decodes the PRUNED terms' id streams executor-side, counts dead
+        hits per term (sorted searchsorted against the driver-pinned
+        tombstone set), ships only (term, dead_count) rows back, and
+        subtracts: live df = stored sum − dead hits. Runs ONLY in the
+        transient tombstoned state — compact() restores the single-pass
+        stored-df path — and makes every incremental state float64-exact
+        against the live-corpus oracle, not merely rank-bounded."""
+        dead = self._dead_ids_np()
+        if dead.size == 0 or not df_map:
+            return df_map
+        _decode_postings = decode_postings
+
+        def count_dead(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                terms, counts = [], []
+                for i in range(n):
+                    ids, _tfs, _dls = _decode_postings(
+                        pdf["ids"].iat[i], pdf["tfs"].iat[i], pdf["dls"].iat[i],
+                        np.asarray(pdf["block_firsts"].iat[i], np.int64),
+                        np.asarray(pdf["block_lens"].iat[i], np.int64),
+                    )
+                    if ids.size:
+                        pos = np.searchsorted(dead, ids)
+                        pos[pos == dead.size] = dead.size - 1
+                        n_dead = int((dead[pos] == ids).sum())
+                    else:
+                        n_dead = 0
+                    terms.append(pdf["term"].iat[i])
+                    counts.append(n_dead)
+                yield pd.DataFrame({"term": terms, "dead": counts})
+
+        rows = (
+            pruned.select("term", "ids", "tfs", "dls", "block_firsts", "block_lens")
+            .mapInPandas(count_dead, "term string, dead long")
+            .collect()
+        )
+        dead_by: dict[str, int] = {}
+        for r in rows:
+            dead_by[r["term"]] = dead_by.get(r["term"], 0) + int(r["dead"])
+        return {t: d - dead_by.get(t, 0) for t, d in df_map.items()}
 
     def _fetch_blob_row(self, term: str):
         """Partition/term-pruned driver fetch of one term's posting blobs."""

@@ -13,9 +13,12 @@ The reference re-crawls periodically, dedups against its ``listed`` /
   ``index.rs:68-75``) and the stale doc id is appended to a ``tombstones``
   table. The engine anti-joins tombstones out of decoded postings before
   ranking and out of the dictionary, and disables block-max skipping
-  (bounds may count dead docs); per-term ``df`` keeps counting dead docs
-  until a full rebuild compacts them — the standard Lucene-style deletes
-  tradeoff (rank drift bounded by the tombstone fraction).
+  (bounds may count dead docs). Stored per-term ``df`` keeps counting dead
+  docs until compaction, but scoring stays EXACT: the engine subtracts each
+  query term's dead postings from its stored df at query time
+  (``engine._live_df_map`` — one bounded extra pass over the pruned terms,
+  only while tombstones exist), so idf matches the live corpus float64-
+  exactly in every incremental state — no Lucene-style rank drift window.
 - New docs get doc ids ``max_id + 1 ...`` in lexicographic (repo, path)
   order *within the delta* — arrival-order semantics, exactly the
   reference's ``LocalCid`` counter behavior across refresh rounds.
@@ -26,7 +29,13 @@ The reference re-crawls periodically, dedups against its ``listed`` /
   rows; readers concatenate them (generations hold disjoint doc ids, new
   strictly greater than old), per-term ``df`` is the sum over rows, and
   driver-side BMW masks bail to the rank-safe per-row greedy on multi-row
-  terms. ``compact()`` folds generations back to one row per term.
+  terms. ``compact()`` folds generations back to one row per term. Each
+  append records its id range in the ``generations`` marker BEFORE any
+  posting file lands, so a crash between the postings append and the
+  doc_dict append is recovered on the next update(): the orphan id range
+  is tombstoned (rank-safe — the engine anti-joins tombstones everywhere)
+  and id assignment resumes above it; a re-run can never duplicate
+  postings, and ``compact()`` purges the orphans physically.
 - Stats are kept as O(delta) running totals; ``bm_avgdl`` keeps the value
   the block-max bounds were computed with, so the engine disables
   block-skipping when the bounds went stale (rank-safety) — ``compact()``
@@ -100,6 +109,41 @@ class IncrementalIndexer:
         dead_prev: list[int] = []
         if os.path.exists(tomb_path):
             dead_prev = [int(r["doc_id"]) for r in spark.read.parquet(tomb_path).collect()]
+        # CRASH RECOVERY: the `generations` marker records each append's id
+        # range BEFORE its postings land. If a previous update() died after
+        # appending postings but before its doc_dict append, those ids are
+        # orphans — present in posting blobs, absent from the dictionary. A
+        # naive re-run would read the same max_id and append the SAME ids
+        # again (duplicate postings, double-counted df). Instead: tombstone
+        # the orphan range (the engine already anti-joins tombstones out of
+        # every decode and disables block skipping — rank-safe, and k never
+        # shrinks at the dictionary join), resume id assignment ABOVE it,
+        # and let compact() purge the orphan rows physically. A marker line
+        # whose postings never landed (crash between marker write and the
+        # append) tombstones ids no posting carries — a no-op.
+        gen_path = os.path.join(self.index_dir, "generations")
+        marker_max = -1
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                for ln in f:
+                    parts = ln.rstrip("\n").split("\t")
+                    if len(parts) == 3:
+                        marker_max = max(marker_max, int(parts[2]))
+        orphan_recovery = marker_max > max_id
+        if orphan_recovery:
+            dead_set = set(dead_prev)
+            orphans = [
+                i for i in range(max_id + 1, marker_max + 1) if i not in dead_set
+            ]
+            if orphans:
+                (
+                    spark.createDataFrame([(i,) for i in orphans], "doc_id long")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(tomb_path)
+                )
+                dead_prev.extend(orphans)
+            max_id = marker_max
         live = dd
         if dead_prev:
             dead_df = spark.createDataFrame([(i,) for i in dead_prev], "doc_id long")
@@ -269,16 +313,19 @@ class IncrementalIndexer:
             r["tb"] for r in new_posts.select("tb").distinct().collect()
         )
         if affected:
+            # intent marker FIRST (see crash recovery above): one TSV line
+            # `token \t first_id \t last_id` per append, written before any
+            # posting file lands so a crash can never leave unrecorded
+            # orphan ids. Doubles as the generations-pending flag compact()
+            # triggers on even when no tombstone exists (a new-docs-only
+            # append still fragments posting lists).
+            with open(gen_path, "a") as f:
+                f.write(f"{input_token}\t{max_id + 1}\t{max_id + int(n_new)}\n")
             (
                 new_posts.write.mode("append")
                 .partitionBy("tb")
                 .parquet(paths.postings)
             )
-            # marker: generations pending fold — compact() triggers on this
-            # even when no tombstone exists (a new-docs-only append still
-            # fragments posting lists). Content = update count, append-only.
-            with open(os.path.join(self.index_dir, "generations"), "a") as f:
-                f.write(f"{input_token}\n")
         # else: every new doc tokenized to nothing (sub-3-char content) —
         # postings untouched. The docs still enter doc_dict below with
         # doc_len 0 (their marker rows), exactly like zero-token docs in a
@@ -333,6 +380,12 @@ class IncrementalIndexer:
             prev_n = int(stats["n_docs"])
             prev_tt = int(stats["total_tokens"])
         except (KeyError, TypeError, ValueError):
+            prev_n = prev_tt = None
+        if orphan_recovery:
+            # the crashed update wrote its tombstones (tombstone-first
+            # ordering) but died before subtracting them from the running
+            # totals — the "stats == live aggregate" invariant no longer
+            # holds, so this one update pays the full recompute to restore it
             prev_n = prev_tt = None
         if prev_n is not None:
             delta_len = int(
@@ -503,6 +556,25 @@ class IncrementalIndexer:
 
         stats = spark.read.parquet(paths.stats).collect()[0]
         dd = spark.read.parquet(paths.doc_dict)
+        # orphan detection, same rule as update(): marker lines record each
+        # append's id range BEFORE its postings land, so ids above the
+        # doc_dict max belong to an update that died before its dictionary
+        # append. They must join the dead set HERE — folding them into
+        # merged rows and deleting the marker would erase the only record
+        # of their existence, and a later update() would re-assign the same
+        # ids (duplicate postings).
+        if has_gens:
+            marker_max = -1
+            with open(gen_path) as f:
+                for ln in f:
+                    parts = ln.rstrip("\n").split("\t")
+                    if len(parts) == 3:
+                        marker_max = max(marker_max, int(parts[2]))
+            dd_max = dd.agg(F.max("doc_id")).collect()[0][0]
+            dd_max = -1 if dd_max is None else int(dd_max)
+            if marker_max > dd_max:
+                orphans = np.arange(dd_max + 1, marker_max + 1, dtype=np.int64)
+                dead = np.unique(np.concatenate([dead, orphans]))
         dead_df = spark.createDataFrame([(int(i),) for i in dead], "doc_id long")
         live = dd.join(F.broadcast(dead_df), "doc_id", "left_anti")
         agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt")).collect()[0]

@@ -535,3 +535,128 @@ def test_auto_compaction_on_pending_generations(spark, tmp_path):
         got = path_scores(eng.search(q, 10**6))
         want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
         assert got == want, q
+
+
+def test_crashed_update_rerun_never_duplicates(spark, tmp_path):
+    """Crash recovery: an update that dies AFTER appending postings but
+    BEFORE its doc_dict append leaves orphan posting ids. The generations
+    marker records each append's id range before any file lands, so the
+    re-run tombstones the orphan range, resumes ids above it, and results
+    match the oracle exactly (no duplicate postings, no double-counted
+    df); compact() then purges the orphans physically."""
+    import hashlib
+    import os
+    import shutil
+
+    base = make_docs_corpus(120, seed=41)
+    dA = str(tmp_path / "idx_crash_base")
+    IndexBuilder(spark, dA, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="cr-base"
+    )
+
+    changed = base.iloc[:30].copy()
+    changed["content"] = "crashmark " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    fresh = make_docs_corpus(30, seed=42)
+    fresh["path"] = "cr2/" + fresh["path"]
+    delta = pd.concat([changed, fresh], ignore_index=True)
+
+    # run the update fully on a copy to harvest the post-append artifacts
+    dB = str(tmp_path / "idx_crash_done")
+    shutil.copytree(dA, dB)
+    IncrementalIndexer(spark, dB).update(spark.createDataFrame(delta), "cr-delta")
+
+    # crash state: tombstones + marker + appended postings from the dead
+    # run, but doc_dict/stats/summaries still the base's (the update's
+    # write order: tombstones -> marker -> postings -> doc_dict -> ...)
+    dC = str(tmp_path / "idx_crash")
+    shutil.copytree(dA, dC)
+    for piece in ("postings", "tombstones", "generations"):
+        dst = os.path.join(dC, piece)
+        src = os.path.join(dB, piece)
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isfile(src):
+            shutil.copy(src, dst)
+        elif os.path.isdir(src):
+            shutil.copytree(src, dst)
+
+    # the re-run (same delta, new token — content-identical)
+    inc = IncrementalIndexer(spark, dC)
+    m = inc.update(spark.createDataFrame(delta), "cr-delta-rerun")
+    assert m["rows_new"] == 60  # all delta rows re-applied (dict never saw them)
+
+    want_docs = pd.concat([base.iloc[30:], changed, fresh], ignore_index=True)
+    oracle = OracleIndex(want_docs)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, dC)
+    for q in QUERIES[:3] + ["crashmark"]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+    # compact purges orphan postings: every surviving posting id is live
+    cm = inc.compact()
+    assert cm.get("noop") is not True
+    post = spark.read.parquet(f"{dC}/postings")
+    assert post.groupBy("term").count().filter("count > 1").count() == 0
+    live_ids = {
+        int(r["doc_id"])
+        for r in spark.read.parquet(f"{dC}/doc_dict").select("doc_id").collect()
+    }
+    from admarus_spark.index.codec import decode_postings
+
+    for r in post.select("ids", "tfs", "dls", "block_firsts", "block_lens").collect():
+        ids, _, _ = decode_postings(
+            bytes(r["ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+            r["block_firsts"], r["block_lens"],
+        )
+        assert set(int(i) for i in ids) <= live_ids
+    eng2 = SearchEngine(spark, dC)
+    for q in QUERIES[:2] + ["crashmark"]:
+        got = path_scores(eng2.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, ("post-compact", q)
+
+
+def test_tombstoned_search_is_float_exact_precompact(spark, tmp_path):
+    """With tombstones pending (changed docs, NO compact), scoring must be
+    float64-exact against the live-corpus oracle — not merely rank-bounded:
+    the engine subtracts each term's dead postings from its stored df
+    (_live_df_map) so idf matches the oracle's live df exactly. Covers the
+    single-query path AND the batched pivot path (tombstoned indexes route
+    every member to pivot)."""
+    import hashlib
+
+    base = make_docs_corpus(140, seed=51)
+    d = str(tmp_path / "idx_tomb_exact")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="te-base"
+    )
+    changed = base.iloc[:50].copy()  # heavy churn: stale df would flip idf
+    changed["content"] = "zzreplaced " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(changed), input_token="te-delta")
+    assert m["rows_changed"] == 50
+    import os
+
+    assert os.path.exists(f"{d}/tombstones")  # pre-compact state under test
+
+    live = pd.concat([base.iloc[50:], changed], ignore_index=True)
+    oracle = OracleIndex(live)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    for q in QUERIES + ["zzreplaced"]:
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        got = path_scores(eng.search(q, 10**6))
+        assert got == want, q
+    res = eng.search_many({f"q{i}": q for i, q in enumerate(QUERIES)}, k=10)
+    rows = res.collect()
+    for i, q in enumerate(QUERIES):
+        got = sorted((r["path"], r["score"]) for r in rows if r["query_id"] == f"q{i}")
+        want = sorted((opaths[di], s) for di, s in oracle.search(q, 10))
+        assert got == want, ("batched", q)
