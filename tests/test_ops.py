@@ -120,3 +120,64 @@ def test_dedup_hash_swap_xxhash64(spark, tmp_path):
             for r in dedup.minhash_pairs(spark, d, hash_method=method).collect()
         }
         assert want <= got, method
+
+
+def test_wav_roundtrip_identity():
+    """encode_wav -> decode_audio must reproduce rate and samples exactly,
+    including empty and odd-length sample arrays (word-aligned chunk walk)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for n, rate in [(0, 8000), (1, 8000), (63, 12000), (256, 20000)]:
+        samples = rng.integers(-(1 << 15), 1 << 15, size=n, dtype=np.int16)
+        got_rate, frames = mm.decode_audio(mm.encode_wav(samples, rate))
+        assert got_rate == rate
+        assert frames.shape == (n, 1)
+        assert (frames[:, 0] == samples).all()
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """A LIST chunk between fmt and data (common in real files) must be
+    skipped by the chunk walk, including the odd-length padding byte."""
+    import numpy as np
+
+    samples = np.arange(-5, 6, dtype=np.int16)
+    payload = mm.encode_wav(samples, 16000)
+    # splice an odd-length LIST chunk after fmt (offset 12..36 is fmt)
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    spliced = payload[:36] + extra + payload[36:]
+    # fix RIFF size
+    spliced = (
+        spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    )
+    rate, frames = mm.decode_audio(spliced)
+    assert rate == 16000 and (frames[:, 0] == samples).all()
+
+
+def test_decode_audio_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\xff\xfb\x90\x00mp3frame")
+    import numpy as np
+
+    # float WAV (fmt=3) is a real container we genuinely cannot decode
+    p = bytearray(mm.encode_wav(np.zeros(4, np.int16), 8000))
+    p[20:22] = (3).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(bytes(p))
+
+
+def test_media_audio_features_matches_decode_audio(spark):
+    feats = {
+        r["doc_id"]: r
+        for r in mm.media_audio_features(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20).collect()
+    for d in docs:
+        rate, frames = mm.decode_audio(mm.make_audio_payload(d["doc_id"], d["text"]))
+        r = feats[d["doc_id"]]
+        assert r["decode_ok"] and r["sample_rate"] == rate
+        assert r["n_samples"] == frames.shape[0]
+        import numpy as np
+
+        want = float(np.abs(frames[:, 0].astype(np.int64)).sum()) / frames.shape[0]
+        assert abs(r["mean_abs_r"] - want) < 1e-8, d["doc_id"]
