@@ -181,3 +181,43 @@ def test_media_audio_features_matches_decode_audio(spark):
 
         want = float(np.abs(frames[:, 0].astype(np.int64)).sum()) / frames.shape[0]
         assert abs(r["mean_abs_r"] - want) < 1e-8, d["doc_id"]
+
+
+def test_y4m_roundtrip_identity():
+    """encode_y4m -> decode_video must reproduce fps and every frame
+    exactly, including the zero-frame container."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for n, h, w in [(0, 4, 4), (1, 3, 5), (7, 6, 4)]:
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        fps, got = mm.decode_video(mm.encode_y4m(frames, 25))
+        assert fps == 25 and got.shape == (n, h, w)
+        assert (got == frames).all()
+
+
+def test_decode_video_rejects_compressed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"\x00\x00\x00\x18ftypmp42....")
+    # non-mono Y4M is a real container we genuinely cannot expand here
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\nFRAME\n" + b"\x00" * 24)
+
+
+def test_media_video_features_matches_decode_video(spark):
+    feats = {
+        r["doc_id"]: r
+        for r in mm.media_video_features(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20).collect()
+    for d in docs:
+        _fps, frames = mm.decode_video(mm.make_video_payload(d["doc_id"], d["text"]))
+        k = mm.video_params(d["doc_id"])[4]
+        sampled = frames[::k]
+        r = feats[d["doc_id"]]
+        assert r["decode_ok"] and r["n_frames"] == frames.shape[0]
+        assert r["n_sampled"] == sampled.shape[0]
+        import numpy as np
+
+        want = float(sampled.mean(dtype=np.float64))
+        assert abs(r["mean_luma_r"] - want) < 1e-8, d["doc_id"]
