@@ -15,8 +15,12 @@ Scale notes: brute force is a broadcast of ONE query vector against a scan
 (fine at any corpus size for single queries); the near-dup pair op is
 LSH-bucketed (pairs only within buckets — per-bucket work (n/2^planes)^2),
 with the exact O(n^2) cartesian kept solely as a row-count-guarded baseline.
-For batch k-NN at 10^12 scale you'd use IVF with k-means centroids; the
-bucket-join plan shape is identical.
+Three ANN families cover the design space: sign-LSH (bucketed candidates),
+IVF (coarse-quantized inverted file, materialized as a cell-partitioned
+table so probes are partition pruning), and PQ (per-subspace codes + ADC
+shortlist + exact re-rank — the memory-compression path that reads codes,
+not vectors). At 10^12 vectors these compose as IVF-PQ: partition by cell,
+ADC within the probed cells.
 """
 
 from __future__ import annotations
@@ -402,6 +406,207 @@ def ivf_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# product quantization: PQ codes + ADC shortlist -> exact re-rank (round 5)
+# ----------------------------------------------------------------------
+PQ_M = 4          # subspaces (64-dim embedding -> 4 x 16-dim)
+PQ_SUB = 16       # dims per subspace
+PQ_K = 8          # centroids per subspace codebook
+PQ_SHORTLIST = 50 # ADC candidates fed to the exact re-rank
+
+
+def _l2sq_sub(a, b, m: int):
+    """L2² over subspace m (a 16-element slice of both vectors), the same
+    left-fold element order as ``_l2sq`` — literal slice starts keep the
+    expression whole-stage-codegen."""
+    return _l2sq(
+        F.slice(a, m * PQ_SUB + 1, PQ_SUB), F.slice(b, m * PQ_SUB + 1, PQ_SUB)
+    )
+
+
+def _pq_sq_duck(a: str, b: str) -> str:
+    """DuckDB twin of ``_l2sq_sub`` with the subspace index from a CTE
+    column ``m`` (0-based): element i of subspace m is [m*16 + i]."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> ({a}[m.m*{PQ_SUB}+i] - {b}[m.m*{PQ_SUB}+i]) "
+        f"* ({a}[m.m*{PQ_SUB}+i] - {b}[m.m*{PQ_SUB}+i])))"
+    )
+
+
+def _pq_cents_m(e: DataFrame) -> DataFrame:
+    """Per-subspace codebook rows (m, c, cv): deterministic data-derived
+    centroids — the full vectors of vec ids 1..PQ_K, each contributing its
+    m-th slice (k-means TRAINING is an offline concern, same rationale as
+    the IVF centroids; each Lloyd step is the identical plan shape)."""
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    return cents
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoder: code(v, m) = argmin_c L2²(v[m], centroid_c[m]) per
+    subspace — each 64-dim float vector compresses to PQ_M small codes
+    (4 x 3 bits here; 4 bytes vs 256 at production K=256), the
+    representation ADC scans instead of raw vectors. Ties on the rounded
+    distance break to the smallest centroid id (struct-min, identical to
+    the oracle's row_number order).
+
+    Scale shape: the codebook is PQ_K broadcast rows; encoding is ONE scan
+    with a 4-struct inline — no shuffle, no Python. At 10^12 vectors the
+    codes table is what lives hot (16-64x smaller than the vectors) and
+    combines with the IVF layout (encode residuals per cell) — IVF-PQ."""
+    e = _emb(spark, sf_dir)
+    cents = _pq_cents_m(e)
+    per_sub = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "c",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.round(_l2sq_sub(F.col("v"), F.col("cv"), m), 9).alias("d2_r"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ),
+    )
+    best = per_sub.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("d2_r"), F.col("c"))).alias("b")
+    )
+    return best.select(
+        "vec_id", F.col("m").cast("int").alias("m"), F.col("b.c").cast("int").alias("code")
+    )
+
+
+PQ_CODES_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+m AS (SELECT unnest(range(0, {PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, m.m, cents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, m.m
+           ORDER BY round({{sq}}, 9) ASC, cents.c ASC
+         ) AS rn
+  FROM e, cents, m
+)
+SELECT vec_id, CAST(m AS INT) AS m, CAST(c AS INT) AS code FROM d WHERE rn = 1
+""".format(sq=_pq_sq_duck("e.v", "cents.cv"))
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k, the production two-stage recipe: (1) ADC — the query
+    builds a (m, c) distance table against the codebook (PQ_M x PQ_K
+    broadcast rows), each vector's approximate distance is the FIXED-ORDER
+    sum of its codes' table entries (d0 + d1 + d2 + d3 — pinned, so both
+    engines add identical rounded doubles identically), shortlist =
+    PQ_SHORTLIST smallest; (2) exact cosine re-ranks only the shortlist.
+    The scan reads CODES, never raw vectors — the memory-bandwidth shape
+    that makes billion-scale ANN fit in RAM; raw vectors are touched for
+    PQ_SHORTLIST rows only."""
+    e = _emb(spark, sf_dir)
+    cents = _pq_cents_m(e)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    dtab = cents.crossJoin(F.broadcast(q)).select(
+        "c",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.round(_l2sq_sub(F.col("cv"), F.col("qv"), m), 9).alias("dq"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ),
+    )
+    wide = (
+        pq_codes(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    for m in range(PQ_M):
+        dm = dtab.filter(F.col("m") == m).select(
+            F.col("c").cast("int").alias(f"c{m}"), F.col("dq").alias(f"dq{m}")
+        )
+        wide = wide.join(F.broadcast(dm), f"c{m}")
+    adist = F.round(
+        F.col("dq0") + F.col("dq1") + F.col("dq2") + F.col("dq3"), 9
+    ).alias("adist_r")
+    short = (
+        wide.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adist)
+        .orderBy(F.asc("adist_r"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+    )
+    return (
+        e.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
+PQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+m AS (SELECT unnest(range(0, {PQ_M})) AS m),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT e.vec_id, m.m, cents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, m.m
+           ORDER BY round({{sq_code}}, 9) ASC, cents.c ASC
+         ) AS rn
+  FROM e, cents, m
+),
+codes AS (SELECT vec_id, m, c AS code FROM d WHERE rn = 1),
+dtab AS (
+  SELECT m.m, cents.c, round({{sq_q}}, 9) AS dq
+  FROM cents, m, q
+),
+wide AS (
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code END) AS c0,
+         max(CASE WHEN m = 1 THEN code END) AS c1,
+         max(CASE WHEN m = 2 THEN code END) AS c2,
+         max(CASE WHEN m = 3 THEN code END) AS c3
+  FROM codes GROUP BY vec_id
+),
+short AS (
+  SELECT w.vec_id,
+         round(d0.dq + d1.dq + d2.dq + d3.dq, 9) AS adist_r
+  FROM wide w
+  JOIN dtab d0 ON d0.m = 0 AND d0.c = w.c0
+  JOIN dtab d1 ON d1.m = 1 AND d1.c = w.c1
+  JOIN dtab d2 ON d2.m = 2 AND d2.c = w.c2
+  JOIN dtab d3 ON d3.m = 3 AND d3.c = w.c3
+  WHERE w.vec_id != {QUERY_VEC_ID}
+  ORDER BY adist_r ASC, w.vec_id ASC
+  LIMIT {PQ_SHORTLIST}
+)
+SELECT e.vec_id AS vec_id, round({{cos}}, 6) AS sim_r
+FROM e JOIN short ON e.vec_id = short.vec_id CROSS JOIN q
+ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
+""".format(
+    sq_code=_pq_sq_duck("e.v", "cents.cv"),
+    sq_q=_pq_sq_duck("cents.cv", "q.qv"),
+    cos=_cos_duck("e.v", "q.qv"),
+)
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_buckets": lsh_buckets,
@@ -410,6 +615,8 @@ QUERIES = {
     "sim_ivf_cells": ivf_cells,
     "sim_ivf_topk": ivf_topk,
     "sim_ivf_topk_mat": ivf_topk_materialized,
+    "sim_pq_codes": pq_codes,
+    "sim_pq_topk": pq_topk,
 }
 
 ORACLES = {
@@ -422,4 +629,6 @@ ORACLES = {
     # same reference semantics: the materialized layout must reproduce the
     # recompute-per-query plan's results exactly
     "sim_ivf_topk_mat": IVF_TOPK_SQL,
+    "sim_pq_codes": PQ_CODES_SQL,
+    "sim_pq_topk": PQ_TOPK_SQL,
 }
