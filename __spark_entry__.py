@@ -213,12 +213,31 @@ _BATCH_MEMBERS: dict[str, str] = {
 }
 
 
-def _bm25_batch(k: int = DEFAULT_K):
+def _bm25_batch(k: int = DEFAULT_K, shards: int | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os as _os
+
         from pyspark.sql.window import Window
 
         eng = _engine(spark, sf_dir)
-        res = eng.search_many(dict(_BATCH_MEMBERS), k=1_000_000_000)
+        if shards is not None:
+            # force doc-range sharding (r5, engine._search_many_groups):
+            # each group's blobs replicate to `shards` id-range shards and
+            # the per-shard exact top-ks merge in a k-row window — this
+            # entry puts the sharded path itself under the driver's DuckDB
+            # value gate (plan construction happens inside search_many, so
+            # the env must be set around the CALL, not the collect)
+            prev = _os.environ.get("SPARK_GRAFT_GROUP_EVAL_SHARDS")
+            _os.environ["SPARK_GRAFT_GROUP_EVAL_SHARDS"] = str(shards)
+            try:
+                res = eng.search_many(dict(_BATCH_MEMBERS), k=1_000_000_000)
+            finally:
+                if prev is None:
+                    _os.environ.pop("SPARK_GRAFT_GROUP_EVAL_SHARDS", None)
+                else:
+                    _os.environ["SPARK_GRAFT_GROUP_EVAL_SHARDS"] = prev
+        else:
+            res = eng.search_many(dict(_BATCH_MEMBERS), k=1_000_000_000)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score_r"), F.asc("repo"), F.asc("path")
         )
@@ -697,6 +716,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_not": _bm25_query("batch AND NOT dup"),
     "bm25_lang_filter": _bm25_query("lang=es AND spark"),
     "bm25_batch": _bm25_batch(),
+    "bm25_batch_sharded": _bm25_batch(shards=4),
     "bm25_after_update": _bm25_after_update_query("batch zzupdated"),
     "bm25_multigen": _bm25_multigen_query("batch zzgen"),
     "bm25_grouped": _bm25_grouped("batch"),
@@ -760,6 +780,23 @@ _FULLTEXT_ORACLES: dict[str, str] = {
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
     ),
     "bm25_batch": _bm25_batch_oracle({
+        "hot": (["batch"], "s_0 > 0", "s_0"),
+        "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
+        "quickor": (
+            ["join", "hash", "window"],
+            "greatest(s_0, s_1, s_2) > 0",
+            "greatest(s_0, s_1, s_2)",
+        ),
+        "nofm": (
+            ["spark", "stream", "window"],
+            "((s_0 > 0)::INT + (s_1 > 0)::INT + (s_2 > 0)::INT) >= 2",
+            "(s_0 + s_1 + s_2 - least(s_0, s_1, s_2)) / 2",
+        ),
+        "notq": (["batch", "dup"], "s_0 > 0 AND s_1 = 0", "s_0 / 2"),
+    }),
+    # the sharded path must produce the SAME rows as the unsharded batch —
+    # one oracle text, two engine plans under the value gate
+    "bm25_batch_sharded": _bm25_batch_oracle({
         "hot": (["batch"], "s_0 > 0", "s_0"),
         "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
         "quickor": (

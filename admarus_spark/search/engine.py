@@ -527,8 +527,12 @@ class SearchEngine:
         block-max bounds valid); members sharing terms form one group
         (connected components) so a shared term's blobs ship and decode
         once; groups whose estimated decoded volume exceeds
-        ``group_eval_max_bytes`` stay on the pivot path (its per-doc
-        parallelism is the right shape for monster terms). ``wand="off"``
+        ``group_eval_max_bytes`` PER SHARD stay on the pivot path (its
+        per-doc parallelism is the right shape for monster terms) — with
+        doc-range sharding enabled a group may exceed the cap by up to the
+        shard budget (``_search_many_groups`` raises its shard count to
+        keep each shard under the cap; routing and sharding use the same
+        budget so a group admitted here always fits). ``wand="off"``
         forces the pivot full decode — the measured no-pruning baseline."""
         if wand == "off" or not self.wand_safe or self.tombstones is not None:
             return [], dict(batched)
@@ -542,15 +546,28 @@ class SearchEngine:
         if not ge:
             return [], pivot
         groups: list[list[tuple[str, Query]]] = []
+        cap = self.group_eval_max_bytes * self._max_group_shards()
         for comp in group_members(ge, df_map):
             terms = {t for qid in comp for t in ge[qid].terms() if t in df_map}
             est = sum(df_map[t] for t in terms) * 24
-            if est > self.group_eval_max_bytes:
+            if est > cap:
                 for qid in comp:
                     pivot[qid] = ge[qid]
             else:
                 groups.append([(qid, ge[qid]) for qid in comp])
         return groups, pivot
+
+    def _max_group_shards(self) -> int:
+        """Upper bound on doc-range shards per group-eval component —
+        scales the routing cap: a group is group-eval-eligible iff its
+        decoded estimate fits ``group_eval_max_bytes`` in SOME admissible
+        shard count."""
+        sh_mode = os.environ.get("SPARK_GRAFT_GROUP_EVAL_SHARDS", "auto")
+        if sh_mode == "off":
+            return 1
+        if sh_mode != "auto":
+            return max(1, int(sh_mode))
+        return max(1, self.spark.sparkContext.defaultParallelism)
 
     def _search_many_groups(
         self,
@@ -568,28 +585,95 @@ class SearchEngine:
         fold, exact top-k) and emits k rows per member. Driver cost is one
         plan — no θ probes, no blob fetches, no per-term pivot columns.
 
-        Partition order IS launch order in Spark's scheduler, so groups are
+        Partition order IS launch order in Spark's scheduler, so tasks are
         keyed largest-estimated-first (LPT): with G skewed groups over C
         cores, an unlucky order that launches the biggest group last
         inflates the makespan by up to its whole runtime — measured 40-query
-        ladder batches carry a 10× est spread across 17 components."""
-        n = len(groups)
+        ladder batches carry a 10× est spread across 17 components.
+
+        **Doc-range sharding** (r5): a group whose posting estimate exceeds
+        an even per-core share splits into S shards by doc-id range — BM25
+        is doc-local (a doc's score reads only its own tf/dl + global
+        df/avgdl), so each shard returns its exact in-range top-k and a
+        k-row window upstream merges them (group_eval.py module docstring
+        carries the rank-safety argument). The group's compressed blobs
+        replicate to its S shard partitions, EXCEPT rows whose stored
+        [min block_first, max block_last] span misses the shard's range —
+        a rare term's single-block row ships to exactly one shard. This
+        turns the batch's parallelism core-bound instead of
+        component-bound: pre-sharding, the 10-query ladder's largest
+        component (~3.7M posting rows) WAS the local[4] makespan
+        (BENCH/QUERY_DECOMP.json). ``SPARK_GRAFT_GROUP_EVAL_SHARDS``:
+        ``auto`` (default), ``off``, or a forced per-group shard count."""
 
         def _est(comp: list[tuple[str, Query]]) -> int:
             gterms = {t for _qid, q in comp for t in q.terms() if t in df_map}
             return sum(df_map[t] for t in gterms)
 
-        groups = sorted(groups, key=_est, reverse=True)
-        keys = identity_partition_keys(n)
-        members_by_key: dict[int, list[tuple[str, Query]]] = {}
-        term_key: dict[str, int] = {}
+        ests = {id(c): _est(c) for c in groups}
+        groups = sorted(groups, key=lambda c: ests[id(c)], reverse=True)
+        sh_mode = os.environ.get("SPARK_GRAFT_GROUP_EVAL_SHARDS", "auto")
+        ncores = self.spark.sparkContext.defaultParallelism
+        min_rows = int(os.environ.get("SPARK_GRAFT_GE_MIN_SHARD_ROWS", 200_000))
+        total_est = sum(ests.values())
+        if sh_mode == "off":
+            n_shards = [1] * len(groups)
+        elif sh_mode != "auto":
+            n_shards = [max(1, int(sh_mode))] * len(groups)
+        else:
+            # split any group bigger than an even per-core share, but never
+            # below min_rows per shard (a shard's fixed cost — blob
+            # replication + task launch — must stay amortized); ALSO raise
+            # the count until each shard's decoded estimate fits the
+            # group-eval byte cap (routing admits over-cap groups on the
+            # promise that sharding divides them back under it)
+            target = max(total_est / max(ncores, 1), float(min_rows))
+            cap_rows = max(self.group_eval_max_bytes // 24, 1)
+            n_shards = [
+                min(
+                    max(
+                        1,
+                        -(-ests[id(c)] // int(target)),
+                        -(-ests[id(c)] // cap_rows),
+                    ),
+                    ncores,
+                )
+                for c in groups
+            ]
+        # doc ids are dense [0, n_docs) on every group-eval-eligible index
+        # (tombstoned indexes route to the pivot path); the last shard's
+        # bound is open so a just-appended generation's ids stay covered
+        max_id = max(int(self.n_docs), 1)
+        tasks: list[tuple[int, int | None, int | None, float]] = []
         for i, comp in enumerate(groups):
-            members_by_key[keys[i]] = comp
-            for _qid, q in comp:
+            s = n_shards[i]
+            if s == 1:
+                tasks.append((i, None, None, float(ests[id(comp)])))
+                continue
+            share = float(ests[id(comp)]) / s
+            step = -(-max_id // s)
+            for j in range(s):
+                lo = j * step
+                hi = (j + 1) * step if j < s - 1 else (1 << 62)
+                tasks.append((i, lo, hi, share))
+        tasks.sort(key=lambda t: -t[3])  # LPT over (group, shard) tasks
+        n = len(tasks)
+        keys = identity_partition_keys(n)
+        members_by_key: dict[int, tuple[list[tuple[str, Query]], int | None, int | None]] = {}
+        term_keys: dict[str, list[int]] = {}
+        key_range: dict[int, tuple[int, int]] = {}
+        for kidx, (gi, lo, hi, _share) in enumerate(tasks):
+            kkey = keys[kidx]
+            members_by_key[kkey] = (groups[gi], lo, hi)
+            if lo is not None:
+                key_range[kkey] = (lo, hi)
+            for _qid, q in groups[gi]:
                 for t in q.terms():
                     if t in df_map:
-                        term_key[t] = keys[i]
-        terms = sorted(term_key)
+                        term_keys.setdefault(t, [])
+                        if kkey not in term_keys[t]:
+                            term_keys[t].append(kkey)
+        terms = sorted(term_keys)
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         pruned = self.postings.filter(
             F.col("tb").isin(buckets) & F.col("term").isin(terms)
@@ -599,18 +683,41 @@ class SearchEngine:
             "block_firsts", "block_lens", "ids_offs", "tfs_offs", "dls_offs",
             "block_max",
         ]
-        if "block_lasts" in pruned.columns:
+        has_lasts = "block_lasts" in pruned.columns
+        if has_lasts:
             cols.append("block_lasts")
         case = (
             "CASE "
-            + " ".join(f"WHEN term = {sql_quote(t)} THEN {term_key[t]}" for t in terms)
+            + " ".join(
+                "WHEN term = {} THEN array({})".format(
+                    sql_quote(t), ", ".join(str(kk_) for kk_ in term_keys[t])
+                )
+                for t in terms
+            )
             + " END"
         )
-        src = (
-            pruned.select(*cols)
-            .withColumn("gk", F.expr(case))
-            .repartition(n, "gk")
-        )
+        src = pruned.select(*cols).withColumn("gk", F.explode(F.expr(case)))
+        if key_range and has_lasts:
+            # drop replicas whose whole row misses the shard's id range —
+            # per-block masks inside evaluate_group re-check exactly
+            lo_case = (
+                "CASE "
+                + " ".join(f"WHEN gk = {kk_} THEN {r[0]}L" for kk_, r in key_range.items())
+                + " ELSE NULL END"
+            )
+            hi_case = (
+                "CASE "
+                + " ".join(f"WHEN gk = {kk_} THEN {r[1]}L" for kk_, r in key_range.items())
+                + " ELSE NULL END"
+            )
+            src = src.filter(
+                F.expr(
+                    f"({lo_case}) IS NULL OR "
+                    f"(array_max(block_lasts) >= ({lo_case}) "
+                    f"AND array_min(block_firsts) < ({hi_case}))"
+                )
+            )
+        src = src.repartition(n, "gk")
         idf_map = {t: bm25_idf(self.n_docs, df_map[t]) for t in terms}
         dfm = {t: df_map[t] for t in terms}
         avgdl, kk = self.avgdl, k
@@ -624,8 +731,11 @@ class SearchEngine:
                     rows_by_key.setdefault(r.gk, {}).setdefault(r.term, []).append(r)
             recs: list[tuple[str, int, float]] = []
             for gk, rows in rows_by_key.items():
+                comp, lo, hi = mbk[gk]
                 recs.extend(
-                    evaluate_group(mbk[gk], rows, dfm, idf_map, kk, avgdl, k1, b)
+                    evaluate_group(
+                        comp, rows, dfm, idf_map, kk, avgdl, k1, b, lo, hi
+                    )
                 )
             if recs:
                 yield pd.DataFrame(
@@ -637,11 +747,27 @@ class SearchEngine:
                 )
 
         self.last_group_eval = {
-            "groups": n,
+            "groups": len(groups),
             "members": sum(len(c) for c in groups),
             "terms": len(terms),
+            "tasks": n,
+            "sharded_groups": sum(1 for s in n_shards if s > 1),
         }
-        return src.mapInPandas(eval_map, "query_id string, doc_id long, score double")
+        out = src.mapInPandas(eval_map, "query_id string, doc_id long, score double")
+        if key_range:
+            # merge shard top-ks: tiny input (<= k rows per member-shard),
+            # and Spark's InferWindowGroupLimit keeps it map-side partial
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            out = (
+                out.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("query_id", "doc_id", "score")
+            )
+        return out
 
     def _search_many_pivot(
         self,

@@ -49,6 +49,21 @@ engine._batch_masks):
 - a term shared by several members decodes the UNION of their needs;
   extra rows are true postings and can only move a member's computed
   result toward the full-decode answer.
+
+Doc-range sharding (r5): a LARGE component's makespan would otherwise be
+one task — the measured query-scaling ceiling (BENCH/QUERY_DECOMP.json:
+the 10-query batch's biggest component bounds local[4]). Because a doc's
+BM25 score depends only on its own (tf, dl) and GLOBAL (df, avgdl), the
+evaluation is exactly partitionable by doc id: the engine replicates a
+big group's compressed blobs to S shard partitions, and each shard calls
+``evaluate_group`` with ``id_lo/id_hi`` — blocks outside the range are
+skipped via their stored [first, last] bounds, decoded ids are clipped to
+the range, and the shard returns its exact in-range top-k. The union of
+shard top-ks contains the global top-k (every doc lives in exactly one
+shard), which a k-row window upstream finalizes. Per-shard rank-safety is
+the SAME argument as unsharded — candidates, pigeonhole covers and greedy
+saturation heaps are all computed from range-clipped arrays, so "beaten
+by >= k docs" always means k docs *inside this shard's range*.
 """
 
 from __future__ import annotations
@@ -61,32 +76,67 @@ from ..query.ast import NAmong, Not, Query, QueryComp, Word, required_words
 from .fold import is_max_fold
 
 
-def select_blocks_topk(r, k: int, k1: float, b: float, avgdl: float) -> np.ndarray:
+def select_blocks_topk(
+    r,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    id_lo: int | None = None,
+    id_hi: int | None = None,
+) -> np.ndarray:
     """Greedy block-max selection: visit blocks in descending upper bound,
     stop once >= k saturations >= the next bound are known. Exact block-max
     values (computed at build time with identical float math) make this
     rank-safe: every skipped doc is strictly beaten, within its term, by at
-    least k docs — and under the max-fold, by the same k docs globally."""
+    least k docs — and under the max-fold, by the same k docs globally.
+
+    With a shard range [id_lo, id_hi): out-of-range blocks are never
+    visited, and a straddling block contributes ONLY its in-range
+    saturations to the heap — so "beaten by k" always means k docs inside
+    the range, which is what the shard's top-k needs."""
     bmax = np.asarray(r.block_max, dtype=np.float64)
     nb = bmax.size
     keep = np.zeros(nb, dtype=bool)
+    ranged = id_lo is not None
+    range_keep = None
+    if ranged:
+        range_keep = select_blocks_range(r, id_lo, id_hi)
     order = np.argsort(-bmax, kind="stable")
     best = np.empty(0, dtype=np.float64)
     for blk in order:
+        if range_keep is not None and not range_keep[blk]:
+            continue
         if best.size >= k and bmax[blk] < best[best.size - k]:
             break
         keep[blk] = True
         one = np.zeros(nb, dtype=bool)
         one[blk] = True
-        _, tfs, dls = decode_postings(
+        ids, tfs, dls = decode_postings(
             r.ids, r.tfs, r.dls, r.block_firsts, r.block_lens,
             one, r.ids_offs, r.tfs_offs, r.dls_offs,
         )
+        if ranged:
+            sel = (ids >= id_lo) & (ids < id_hi)
+            tfs, dls = tfs[sel], dls[sel]
         tf = tfs.astype(np.float64)
         dl = dls.astype(np.float64)
         sat = tf / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
         best = np.sort(np.concatenate((best, sat)))
     return keep
+
+
+def select_blocks_range(r, id_lo: int, id_hi: int) -> np.ndarray | None:
+    """Keep mask for a shard's doc-id range [id_lo, id_hi): block i spans
+    the closed id interval [first_i, last_i]; keep it iff that interval
+    intersects the range. Returns None on the legacy layout (no stored
+    ``block_lasts``) — the caller then decodes all blocks and relies on the
+    post-decode id clip, which is correct but unpruned."""
+    if not hasattr(r, "block_lasts") or r.block_lasts is None:
+        return None
+    firsts = np.asarray(r.block_firsts, dtype=np.int64)
+    lasts = np.asarray(r.block_lasts, dtype=np.int64)
+    return (lasts >= id_lo) & (firsts < id_hi)
 
 
 def select_blocks_intersect(r, cand: np.ndarray) -> np.ndarray:
@@ -123,11 +173,15 @@ def nofm_cover_words(comp: QueryComp, df_map: dict[str, int]) -> list[str] | Non
     return sorted(present, key=lambda t: (df_map[t], t))[:k]
 
 
-def _decode_term(rows, keep_masks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decode_term(
+    rows, keep_masks, id_lo: int | None = None, id_hi: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a term's posting rows (one per generation) with per-row keep
     masks (None = full), concatenated and sorted ascending by doc id (block
     runs interleave after chunked merges; downstream searchsorted lookups
-    need global order)."""
+    need global order). A shard range clips the result to ids in
+    [id_lo, id_hi) — straddling blocks decode whole, their out-of-range
+    tail is dropped here."""
     parts = []
     for r, keep in zip(rows, keep_masks):
         parts.append(
@@ -140,7 +194,12 @@ def _decode_term(rows, keep_masks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = np.concatenate([p[1] for p in parts])
     dls = np.concatenate([p[2] for p in parts])
     order = np.argsort(ids, kind="stable")
-    return ids[order], tfs[order], dls[order]
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    if id_lo is not None:
+        lo = np.searchsorted(ids, id_lo, side="left")
+        hi = np.searchsorted(ids, id_hi, side="left")
+        ids, tfs, dls = ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+    return ids, tfs, dls
 
 
 def _term_scores(
@@ -227,13 +286,23 @@ def evaluate_group(
     avgdl: float,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    id_lo: int | None = None,
+    id_hi: int | None = None,
 ) -> list[tuple[str, int, float]]:
     """Evaluate one co-located group of member queries; returns
     (query_id, doc_id, score) rows — exact top-k per member, identical
     floats and (score desc, doc_id asc) order as the single-query path.
 
     ``rows``: term -> posting rows (itertuples of the scanned blob
-    columns, one per generation)."""
+    columns, one per generation).
+
+    ``id_lo/id_hi``: the shard's doc-id range (None = unsharded). Every
+    decode clips to the range, so the returned rows are the member's exact
+    top-k *among docs in the range*; per-candidate scores are elementwise
+    over that doc's own (tf, dl) and global (idf, avgdl), hence identical
+    floats to the unsharded path. A term whose blobs were range-pruned
+    before the shuffle simply isn't ``present`` here — semantically "no
+    postings in this id range", which every plan kind already handles."""
     present = set(rows)
     # ---- pass 1: classify members, mark per-term decode needs ----------
     plans: list[tuple[str, Query, str, list[str]]] = []
@@ -270,9 +339,14 @@ def evaluate_group(
         need_full.update(qterms)
         plans.append((qid, q, "general", pos))
 
+    ranged = id_lo is not None
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for t in need_full:
-        decoded[t] = _decode_term(rows[t], [None] * len(rows[t]))
+        masks = [
+            select_blocks_range(r, id_lo, id_hi) if ranged else None
+            for r in rows[t]
+        ]
+        decoded[t] = _decode_term(rows[t], masks, id_lo, id_hi)
 
     # ---- member candidate sets (from fully-decoded source terms) -------
     member_cand: dict[int, np.ndarray] = {}
@@ -293,7 +367,7 @@ def evaluate_group(
             m: np.ndarray | None = None
             full = False
             if t in greedy:
-                m = select_blocks_topk(r, k, k1, b, avgdl)
+                m = select_blocks_topk(r, k, k1, b, avgdl, id_lo, id_hi)
             for i, (qid, q, kind, _src) in enumerate(plans):
                 if kind not in ("conj", "nofm") or t not in q.terms():
                     continue
@@ -302,8 +376,13 @@ def evaluate_group(
                     break
                 mi = select_blocks_intersect(r, member_cand[i])
                 m = mi if m is None else (m | mi)
-            masks.append(None if (full or m is None) else m)
-        decoded[t] = _decode_term(trows, masks)
+            if full or m is None:
+                # no query-driven mask: decode the shard range (None on an
+                # unsharded group or the legacy layout = all blocks; the
+                # post-decode clip keeps legacy correct)
+                m = select_blocks_range(r, id_lo, id_hi) if ranged else None
+            masks.append(m)
+        decoded[t] = _decode_term(trows, masks, id_lo, id_hi)
 
     # ---- pass 3: evaluate each member over its candidates --------------
     recs: list[tuple[str, int, float]] = []

@@ -204,3 +204,47 @@ def test_group_members_connected_components():
     as_sets = sorted(tuple(c) for c in comps)
     # a-b share 'beta'; c alone; d has no indexed terms -> its own component
     assert as_sets == [("a", "b"), ("c",), ("d",)]
+
+
+def test_group_eval_sharded_matches_single(docs_engine, monkeypatch):
+    """Forced doc-range sharding (3 shards per group): every member's
+    result must stay float-identical to the sequential path — per-shard
+    top-ks are exact within their id range (BM25 is doc-local) and the
+    merge window keeps the same (score desc, doc_id asc) order."""
+    monkeypatch.setenv("SPARK_GRAFT_GROUP_EVAL_SHARDS", "3")
+    batch = docs_engine.search_many(QUERIES, k=10).collect()
+    st = docs_engine.last_group_eval
+    assert st is not None
+    assert st["sharded_groups"] == st["groups"] == 2
+    assert st["tasks"] == 6
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_group_eval_many_shards_matches_single(docs_engine, monkeypatch):
+    """More shards than docs-per-range granularity (8): empty shards and
+    rows range-pruned out of most replicas must not change any result."""
+    monkeypatch.setenv("SPARK_GRAFT_GROUP_EVAL_SHARDS", "8")
+    batch = docs_engine.search_many(QUERIES, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        single = [
+            (r["doc_id"], r["score"]) for r in docs_engine.search(q, 10, wand="off").collect()
+        ]
+        assert by_q.get(qid, []) == single, qid
+
+
+def test_group_eval_shards_off_single_task_per_group(docs_engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_GROUP_EVAL_SHARDS", "off")
+    docs_engine.search_many(QUERIES, k=10).collect()
+    st = docs_engine.last_group_eval
+    assert st is not None
+    assert st["tasks"] == st["groups"] and st["sharded_groups"] == 0
