@@ -212,6 +212,25 @@ _BATCH_MEMBERS: dict[str, str] = {
     "notq": "batch AND NOT dup",
 }
 
+# the DuckDB twin of each _BATCH_MEMBERS query (terms, gate, score) — one
+# spec shared by bm25_batch AND bm25_batch_sharded so the two entries can
+# never drift apart (the sharded plan must match the unsharded rows)
+_BATCH_MEMBER_ORACLES: dict[str, tuple[list[str], str, str]] = {
+    "hot": (["batch"], "s_0 > 0", "s_0"),
+    "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
+    "quickor": (
+        ["join", "hash", "window"],
+        "greatest(s_0, s_1, s_2) > 0",
+        "greatest(s_0, s_1, s_2)",
+    ),
+    "nofm": (
+        ["spark", "stream", "window"],
+        "((s_0 > 0)::INT + (s_1 > 0)::INT + (s_2 > 0)::INT) >= 2",
+        "(s_0 + s_1 + s_2 - least(s_0, s_1, s_2)) / 2",
+    ),
+    "notq": (["batch", "dup"], "s_0 > 0 AND s_1 = 0", "s_0 / 2"),
+}
+
 
 def _bm25_batch(k: int = DEFAULT_K, shards: int | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,38 +798,10 @@ _FULLTEXT_ORACLES: dict[str, str] = {
     "bm25_lang_filter": _bm25_oracle(
         ["spark"], gate="doc.lang = 'es' AND s_0 > 0", score="s_0 / 2", join_meta=True
     ),
-    "bm25_batch": _bm25_batch_oracle({
-        "hot": (["batch"], "s_0 > 0", "s_0"),
-        "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
-        "quickor": (
-            ["join", "hash", "window"],
-            "greatest(s_0, s_1, s_2) > 0",
-            "greatest(s_0, s_1, s_2)",
-        ),
-        "nofm": (
-            ["spark", "stream", "window"],
-            "((s_0 > 0)::INT + (s_1 > 0)::INT + (s_2 > 0)::INT) >= 2",
-            "(s_0 + s_1 + s_2 - least(s_0, s_1, s_2)) / 2",
-        ),
-        "notq": (["batch", "dup"], "s_0 > 0 AND s_1 = 0", "s_0 / 2"),
-    }),
+    "bm25_batch": _bm25_batch_oracle(_BATCH_MEMBER_ORACLES),
     # the sharded path must produce the SAME rows as the unsharded batch —
     # one oracle text, two engine plans under the value gate
-    "bm25_batch_sharded": _bm25_batch_oracle({
-        "hot": (["batch"], "s_0 > 0", "s_0"),
-        "conj": (["spark", "stream"], "s_0 > 0 AND s_1 > 0", "(s_0 + s_1) / 2"),
-        "quickor": (
-            ["join", "hash", "window"],
-            "greatest(s_0, s_1, s_2) > 0",
-            "greatest(s_0, s_1, s_2)",
-        ),
-        "nofm": (
-            ["spark", "stream", "window"],
-            "((s_0 > 0)::INT + (s_1 > 0)::INT + (s_2 > 0)::INT) >= 2",
-            "(s_0 + s_1 + s_2 - least(s_0, s_1, s_2)) / 2",
-        ),
-        "notq": (["batch", "dup"], "s_0 > 0 AND s_1 = 0", "s_0 / 2"),
-    }),
+    "bm25_batch_sharded": _bm25_batch_oracle(_BATCH_MEMBER_ORACLES),
     "bm25_after_update": _bm25_after_update_oracle(
         ["batch", "zzupdated"],
         gate="greatest(s_0, s_1) > 0",

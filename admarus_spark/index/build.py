@@ -626,6 +626,10 @@ class IndexBuilder:
                     # fall back to full decode (rank-safety)
                     "bm_avgdl": avgdl,
                     "n_invalid_sha": int(n_invalid),
+                    # distinct tombstoned ids these totals exclude — the
+                    # incremental running-stats invariant (incremental.py
+                    # update()); a fresh build has none
+                    "n_dead_acc": 0,
                 }
             ]
         )

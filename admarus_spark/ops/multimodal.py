@@ -338,6 +338,10 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
         raise NotImplementedError(
             f"only 16-bit PCM WAV is supported (fmt={fmt}, bits={bits})"
         )
+    if not channels:
+        # a ValueError keeps the row on the decode_ok=False path — a bare
+        # ZeroDivisionError below would fail the whole Spark task instead
+        raise ValueError("malformed WAV: zero channels in fmt chunk")
     n = len(data) // (2 * channels)
     frames = np.frombuffer(data, dtype="<i2", count=n * channels)
     return int(rate), frames.reshape(n, channels)

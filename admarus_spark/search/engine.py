@@ -897,7 +897,11 @@ class SearchEngine:
         """Per-term block metadata for driver-side mask computation (one
         KB-scale collect for the whole query/batch). None when a term is
         split across rows (legacy/mid-compaction layout — masks cannot be
-        keyed by term alone)."""
+        keyed by term alone) or the index predates per-block id bounds
+        (pre-r2 layout without ``block_lasts`` — callers fall back to the
+        per-term greedy, which never reads the bounds)."""
+        if "block_lasts" not in pruned.columns:
+            return None
         meta = pruned.select(
             "term", "block_max", "block_firsts", "block_lasts"
         ).collect()

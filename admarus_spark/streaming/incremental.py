@@ -312,22 +312,25 @@ class IncrementalIndexer:
         affected = sorted(
             r["tb"] for r in new_posts.select("tb").distinct().collect()
         )
+        # intent marker FIRST (see crash recovery above): one TSV line
+        # `token \t first_id \t last_id` per append, written before any
+        # posting file lands so a crash can never leave unrecorded orphan
+        # ids. Doubles as the generations-pending flag compact() triggers on
+        # even when no tombstone exists (a new-docs-only append still
+        # fragments posting lists). Written even when the delta produced NO
+        # postings (every doc tokenized to nothing): the stats write below
+        # still counts those docs, so a crash before the doc_dict append
+        # must remain detectable — the marker is what makes the rerun take
+        # the orphan-recovery recompute instead of double-counting them.
+        with open(gen_path, "a") as f:
+            f.write(f"{input_token}\t{max_id + 1}\t{max_id + int(n_new)}\n")
         if affected:
-            # intent marker FIRST (see crash recovery above): one TSV line
-            # `token \t first_id \t last_id` per append, written before any
-            # posting file lands so a crash can never leave unrecorded
-            # orphan ids. Doubles as the generations-pending flag compact()
-            # triggers on even when no tombstone exists (a new-docs-only
-            # append still fragments posting lists).
-            with open(gen_path, "a") as f:
-                f.write(f"{input_token}\t{max_id + 1}\t{max_id + int(n_new)}\n")
             (
                 new_posts.write.mode("append")
                 .partitionBy("tb")
                 .parquet(paths.postings)
             )
-        # else: every new doc tokenized to nothing (sub-3-char content) —
-        # postings untouched. The docs still enter doc_dict below with
+        # else: postings untouched; the docs still enter doc_dict below with
         # doc_len 0 (their marker rows), exactly like zero-token docs in a
         # full build.
 
@@ -350,66 +353,58 @@ class IncrementalIndexer:
         )
         new_posts.unpersist()
 
-        # append to doc_dict (per-doc length from the tokenize marker rows —
-        # no groupBy; zero-token docs carry dl=0 markers)
+        # doc lengths from the tokenize marker rows (no groupBy; zero-token
+        # docs carry dl=0 markers). Persisted: consumed by the stats sum
+        # below AND the doc_dict append join at the end — and the persist
+        # pins the rows against the post-append recacheByPath (the lineage
+        # reads doc_dict, so a re-evaluation after the append would dedup
+        # the delta against itself and come back empty).
         doc_len = tf_all.filter(F.col("term") == MARKER_TERM).select(
             "doc_id", F.col("meta").cast("int").alias("doc_len")  # marker meta == dl
-        )
-        (
-            with_ids.select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
-            .join(doc_len, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("int"))
-            .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
-            .write.mode("append")
-            .parquet(paths.doc_dict)
-        )
+        ).persist()
+        delta_len = int(doc_len.agg(F.sum("doc_len")).collect()[0][0] or 0)
 
         # stats: RUNNING totals — previous live (n_docs, total_tokens) plus
         # the delta's doc lengths minus the replaced generations' lengths
         # (collected above with the tombstone ids). O(delta) instead of a
-        # full doc_dict aggregate per update (VERDICT r4 #3): the previous
-        # stats row already excludes every earlier tombstone, so adding the
-        # new generations and subtracting this update's dead ones keeps the
-        # invariant stats == live-aggregate exactly. The delta length sum
-        # reads back the just-appended doc_dict rows with a doc_id > max_id
-        # pushdown — parquet row-group stats skip every pre-existing file,
-        # so the scan touches only the delta's own files. bm_avgdl is
-        # unchanged (block-max staleness marker). Legacy stats rows without
-        # total_tokens fall back to the full recompute.
+        # full doc_dict aggregate per update (VERDICT r4 #3). The running
+        # formula is sound ONLY while "the previous stats row excludes every
+        # tombstone on disk": a crash between a tombstone append and its
+        # stats write breaks that silently — the rerun sees the changed
+        # paths as brand-new (their old ids are dead, so they dedup out of
+        # `live`) and n_changed no longer re-subtracts the dead lengths. The
+        # stats row therefore records n_dead_acc = how many DISTINCT dead
+        # ids its totals exclude; a mismatch with the tombstones actually on
+        # disk forces this one update onto the exact recompute path (r5
+        # review #1). bm_avgdl is unchanged (block-max staleness marker).
+        # Legacy stats rows without total_tokens/n_dead_acc take the
+        # recompute once and gain the fields here.
+        n_dead_seen = len(set(dead_prev))
         try:
             prev_n = int(stats["n_docs"])
             prev_tt = int(stats["total_tokens"])
+            if int(stats["n_dead_acc"]) != n_dead_seen:
+                prev_n = prev_tt = None  # un-accounted tombstones on disk
         except (KeyError, TypeError, ValueError):
             prev_n = prev_tt = None
         if orphan_recovery:
-            # the crashed update wrote its tombstones (tombstone-first
-            # ordering) but died before subtracting them from the running
-            # totals — the "stats == live aggregate" invariant no longer
-            # holds, so this one update pays the full recompute to restore it
+            # the crashed update wrote its marker (and possibly postings)
+            # but died before its stats write — the same invariant break,
+            # detected by the marker instead of the tombstone count
             prev_n = prev_tt = None
         if prev_n is not None:
-            delta_len = int(
-                spark.read.parquet(paths.doc_dict)
-                .filter(F.col("doc_id") > F.lit(max_id))
-                .agg(F.sum("doc_len"))
-                .collect()[0][0]
-                or 0
-            )
             n_docs = prev_n + int(n_new) - n_changed
             total_tokens = prev_tt + delta_len - changed_len
             stats_mode = "running"
         else:
-            dd_now = spark.read.parquet(paths.doc_dict)
-            if os.path.exists(tomb_path):
-                dd_now = dd_now.join(
-                    spark.read.parquet(tomb_path), "doc_id", "left_anti"
-                )
-            agg = (
-                dd_now
-                .agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt"))
-                .collect()[0]
-            )
-            n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+            # exact rebase: aggregate the pre-update LIVE corpus (doc_dict
+            # minus every dead id incl. this run's orphans — `live` already
+            # is exactly that), then apply this update's delta driver-side
+            agg = live.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("tt")
+            ).collect()[0]
+            n_docs = int(agg["n"]) - n_changed + int(n_new)
+            total_tokens = int(agg["tt"] or 0) - changed_len + delta_len
             stats_mode = "recompute"
         stats_pdf = pd.DataFrame(
             [
@@ -419,6 +414,7 @@ class IncrementalIndexer:
                     "avgdl": float(total_tokens) / float(n_docs) if n_docs else 0.0,
                     "bm_avgdl": bm_avgdl,
                     "n_invalid_sha": int(stats["n_invalid_sha"]),
+                    "n_dead_acc": n_dead_seen + n_changed,
                 }
             ]
         )
@@ -479,6 +475,26 @@ class IncrementalIndexer:
         final = spark.read.parquet(tmp)
         final.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
 
+        # doc_dict append LAST — the update's COMMIT POINT (r5 review #1).
+        # Every earlier artifact (tombstones, marker, postings, stats,
+        # summaries) lands under the marker's protection: if the update dies
+        # before THIS append, the next update()/compact() sees marker_max >
+        # max(doc_dict.doc_id), tombstones the orphan ids and recomputes
+        # stats exactly, and the rerun re-absorbs the delta. Dying AFTER a
+        # doc_dict append with stats/summaries still unwritten (the old
+        # order) was unrecoverable: the rerun no-ops on the dedup while the
+        # blooms permanently miss the delta's terms — bloom false negatives,
+        # i.e. silently empty queries for the new docs' unique terms.
+        (
+            with_ids.select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
+            .join(doc_len, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("int"))
+            .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
+            .write.mode("append")
+            .parquet(paths.doc_dict)
+        )
+        doc_len.unpersist()
+
         if manifest_persist is not None:
             manifest_persist.unpersist()
         out = {
@@ -490,7 +506,7 @@ class IncrementalIndexer:
             "stats_mode": stats_mode,
             "seconds": time.time() - t0,
         }
-        n_dead = len(dead_prev) + n_changed
+        n_dead = n_dead_seen + n_changed
         trigger = (
             self.auto_compact_frac is not None
             and n_docs
@@ -585,8 +601,10 @@ class IncrementalIndexer:
 
         from ..index.codec import decode_postings
 
+        fold_across_batches = has_gens
+
         def rewrite(batches):
-            """Whole-partition compaction pass: every term's blobs join into
+            """Batched compaction pass: every term's blobs join into
             ONE varint stream per column (blocks are self-contained), one
             vectorized decode, one dead-id filter, one lexsort back to
             canonical per-term sorted lists, one encode_postings_many —
@@ -594,65 +612,99 @@ class IncrementalIndexer:
             would otherwise dominate the sweep, exactly as they did in the
             pre-r3 build stage. Runs are keyed by TERM (factorize), not by
             input row, so a term's generations (multiple rows after append
-            updates) fold into one output row with a summed df."""
-            from ..index.codec import encode_postings_many
+            updates) fold into one output row with a summed df.
+
+            A partition arrives as MANY Arrow batches (arrow
+            maxRecordsPerBatch << bucket vocabulary), and a term whose
+            generation rows straddle a batch boundary must still fold to one
+            row — accumulating the whole partition would break the sweep's
+            bounded memory (a partition holds index_bytes / n_partitions at
+            scale), so with pending generations the input is term-SORTED
+            within the partition and the trailing term group of each batch
+            is carried into the next (O(batch + one term's generations)
+            memory; r5 review #3). Tombstone-only compactions skip both the
+            sort and the carry: one row per term is already guaranteed."""
 
             dead_ids = bc_dead.value
+            pending: pd.DataFrame | None = None
             for pdf in batches:
+                if pending is not None:
+                    pdf = pd.concat([pending, pdf], ignore_index=True)
+                    pending = None
                 n_rows = len(pdf)
                 if n_rows == 0:
                     continue
-                firsts_all = np.concatenate(
-                    [np.asarray(x, np.int64) for x in pdf["block_firsts"]]
-                )
-                lens_all = np.concatenate(
-                    [np.asarray(x, np.int64) for x in pdf["block_lens"]]
-                )
-                ids_v, tfs_v, dls_v = decode_postings(
-                    b"".join(pdf["ids"]), b"".join(pdf["tfs"]), b"".join(pdf["dls"]),
-                    firsts_all, lens_all,
-                )
-                codes, uniq = pd.factorize(pdf["term"], sort=False)
-                dfs_row = pdf["df"].to_numpy(np.int64)
-                value_row = np.repeat(codes.astype(np.int64), dfs_row)
-                if ids_v.size and dead_ids.size:
-                    pos = np.searchsorted(dead_ids, ids_v)
-                    pos[pos == dead_ids.size] = dead_ids.size - 1
-                    keep = dead_ids[pos] != ids_v
-                    ids_v, tfs_v, dls_v = ids_v[keep], tfs_v[keep], dls_v[keep]
-                    value_row = value_row[keep]
-                if ids_v.size == 0:
-                    continue  # every posting in this partition died
-                # canonical (term, doc_id) order; terms whose postings died
-                # entirely simply have no run and are dropped
-                order = np.lexsort((ids_v, value_row))
-                vr_s = value_row[order]
-                starts = np.concatenate(([0], np.flatnonzero(np.diff(vr_s)) + 1))
-                cols = encode_postings_many(
-                    ids_v[order], tfs_v[order], dls_v[order], starts, block_size,
-                    avgdl=avgdl,
-                )
-                code_idx = vr_s[starts]
-                tb_row = pdf["tb"].to_numpy(np.int64)
-                tb_of_code = np.empty(len(uniq), dtype=np.int64)
-                tb_of_code[codes] = tb_row  # generations share the term's tb
-                yield pd.DataFrame(
-                    {
-                        "term": np.asarray(uniq, dtype=object)[code_idx],
-                        "df": cols["df"],
-                        "ids": cols["ids"],
-                        "tfs": cols["tfs"],
-                        "dls": cols["dls"],
-                        "block_firsts": cols["block_firsts"],
-                        "block_lasts": cols["block_lasts"],
-                        "block_lens": cols["block_lens"],
-                        "ids_offs": cols["ids_offs"],
-                        "tfs_offs": cols["tfs_offs"],
-                        "dls_offs": cols["dls_offs"],
-                        "block_max": cols["block_max"],
-                        "tb": tb_of_code[code_idx].astype(np.int32),
-                    }
-                )
+                if fold_across_batches:
+                    # sorted input ⇒ equal terms are adjacent, so only the
+                    # TAIL group can continue into the next batch: hold it
+                    last = pdf["term"].iat[n_rows - 1]
+                    tail = int((pdf["term"].to_numpy() == last).sum())
+                    pending = pdf.iloc[n_rows - tail :].reset_index(drop=True)
+                    pdf = pdf.iloc[: n_rows - tail]
+                    if len(pdf) == 0:
+                        continue
+                out = _fold_pdf(pdf, dead_ids)
+                if out is not None:
+                    yield out
+            if pending is not None and len(pending):
+                out = _fold_pdf(pending, dead_ids)
+                if out is not None:
+                    yield out
+
+        def _fold_pdf(pdf, dead_ids):
+            from ..index.codec import encode_postings_many
+
+            firsts_all = np.concatenate(
+                [np.asarray(x, np.int64) for x in pdf["block_firsts"]]
+            )
+            lens_all = np.concatenate(
+                [np.asarray(x, np.int64) for x in pdf["block_lens"]]
+            )
+            ids_v, tfs_v, dls_v = decode_postings(
+                b"".join(pdf["ids"]), b"".join(pdf["tfs"]), b"".join(pdf["dls"]),
+                firsts_all, lens_all,
+            )
+            codes, uniq = pd.factorize(pdf["term"], sort=False)
+            dfs_row = pdf["df"].to_numpy(np.int64)
+            value_row = np.repeat(codes.astype(np.int64), dfs_row)
+            if ids_v.size and dead_ids.size:
+                pos = np.searchsorted(dead_ids, ids_v)
+                pos[pos == dead_ids.size] = dead_ids.size - 1
+                keep = dead_ids[pos] != ids_v
+                ids_v, tfs_v, dls_v = ids_v[keep], tfs_v[keep], dls_v[keep]
+                value_row = value_row[keep]
+            if ids_v.size == 0:
+                return None  # every posting in this slice died
+            # canonical (term, doc_id) order; terms whose postings died
+            # entirely simply have no run and are dropped
+            order = np.lexsort((ids_v, value_row))
+            vr_s = value_row[order]
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(vr_s)) + 1))
+            cols = encode_postings_many(
+                ids_v[order], tfs_v[order], dls_v[order], starts, block_size,
+                avgdl=avgdl,
+            )
+            code_idx = vr_s[starts]
+            tb_row = pdf["tb"].to_numpy(np.int64)
+            tb_of_code = np.empty(len(uniq), dtype=np.int64)
+            tb_of_code[codes] = tb_row  # generations share the term's tb
+            return pd.DataFrame(
+                {
+                    "term": np.asarray(uniq, dtype=object)[code_idx],
+                    "df": cols["df"],
+                    "ids": cols["ids"],
+                    "tfs": cols["tfs"],
+                    "dls": cols["dls"],
+                    "block_firsts": cols["block_firsts"],
+                    "block_lasts": cols["block_lasts"],
+                    "block_lens": cols["block_lens"],
+                    "ids_offs": cols["ids_offs"],
+                    "tfs_offs": cols["tfs_offs"],
+                    "dls_offs": cols["dls_offs"],
+                    "block_max": cols["block_max"],
+                    "tb": tb_of_code[code_idx].astype(np.int32),
+                }
+            )
 
         post = spark.read.parquet(paths.postings)
         if "block_lasts" not in post.columns:
@@ -663,11 +715,16 @@ class IncrementalIndexer:
             # append updates leave a term's generations in SEPARATE files,
             # and file-aligned input splits would feed them to different
             # rewrite partitions — one tb-keyed exchange co-locates them
-            # (same-term rows always share tb). Tombstone-only compactions
-            # skip this: one row per term is guaranteed, splits stay aligned.
+            # (same-term rows always share tb), then a partition-local term
+            # sort makes a term's rows ADJACENT across the Arrow batch
+            # stream so rewrite's tail-carry can fold them with O(batch)
+            # memory (see rewrite's docstring). Tombstone-only compactions
+            # skip both: one row per term is guaranteed, splits stay aligned.
             n_b = int(post.agg(F.max("tb")).collect()[0][0] or 0) + 1
             parallelism = spark.sparkContext.defaultParallelism
-            post = post.repartition(max(1, min(max(parallelism, 1) * 2, n_b)), "tb")
+            post = post.repartition(
+                max(1, min(max(parallelism, 1) * 2, n_b)), "tb"
+            ).sortWithinPartitions("term")
         new_post = post.mapInPandas(rewrite, POSTINGS_SCHEMA + ", tb int")
         # input splits are partition-pruned per tb, so the partitionBy write
         # needs no shuffle; swap keeps readers consistent
@@ -693,6 +750,9 @@ class IncrementalIndexer:
                     "avgdl": avgdl,
                     "bm_avgdl": avgdl,  # bounds recomputed: WAND re-enables
                     "n_invalid_sha": int(stats["n_invalid_sha"]),
+                    # tombstones are cleared below — the running-stats
+                    # invariant restarts from zero accounted dead ids
+                    "n_dead_acc": 0,
                 }
             ]
         )

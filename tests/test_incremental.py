@@ -569,8 +569,9 @@ def test_crashed_update_rerun_never_duplicates(spark, tmp_path):
     IncrementalIndexer(spark, dB).update(spark.createDataFrame(delta), "cr-delta")
 
     # crash state: tombstones + marker + appended postings from the dead
-    # run, but doc_dict/stats/summaries still the base's (the update's
-    # write order: tombstones -> marker -> postings -> doc_dict -> ...)
+    # run, but doc_dict/stats/summaries still the base's (a crash just
+    # after the postings append in the r5 commit order: tombstones ->
+    # marker -> postings -> stats -> summaries -> doc_dict)
     dC = str(tmp_path / "idx_crash")
     shutil.copytree(dA, dC)
     for piece in ("postings", "tombstones", "generations"):
@@ -660,3 +661,186 @@ def test_tombstoned_search_is_float_exact_precompact(spark, tmp_path):
         got = sorted((r["path"], r["score"]) for r in rows if r["query_id"] == f"q{i}")
         want = sorted((opaths[di], s) for di, s in oracle.search(q, 10))
         assert got == want, ("batched", q)
+
+
+def test_tombstone_only_crash_heals_stats(spark, tmp_path):
+    """Crash window: a dead update wrote its changed-doc tombstones but died
+    before the generations marker (the very first window of the commit
+    sequence). The rerun then sees the changed paths as brand-new (their old
+    ids are dead), so n_changed can no longer re-subtract the dead lengths
+    from the running totals — the stats row's n_dead_acc count detects the
+    un-accounted tombstones and forces the exact recompute (r5 review #1)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = make_docs_corpus(100, seed=61)
+    d = str(tmp_path / "idx_tombcrash")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="tc-base"
+    )
+    # simulate the dead run's only surviving artifact: tombstones for the
+    # docs whose content the (re-run) delta replaces
+    changed = base.iloc[[4, 17]].copy()
+    changed["content"] = "tombcrashmark " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    dd = spark.read.parquet(os.path.join(d, "doc_dict"))
+    dead_ids = [
+        int(r["doc_id"])
+        for r in dd.join(
+            spark.createDataFrame(changed[["repo", "path"]]), ["repo", "path"]
+        ).select("doc_id").collect()
+    ]
+    assert len(dead_ids) == 2
+    spark.createDataFrame([(i,) for i in dead_ids], "doc_id long").coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(d, "tombstones"))
+
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(changed), input_token="tc-rerun")
+    # the dead ids made the paths look new — and that is exactly why the
+    # running formula would overstate; the guard must have re-based
+    assert m["rows_changed"] == 0 and m["rows_new"] == 2
+    assert m["stats_mode"] == "recompute"
+
+    stats = spark.read.parquet(os.path.join(d, "stats")).collect()[0]
+    tomb = spark.read.parquet(os.path.join(d, "tombstones"))
+    live = spark.read.parquet(os.path.join(d, "doc_dict")).join(
+        tomb, "doc_id", "left_anti"
+    )
+    agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt")).collect()[0]
+    assert int(stats["n_docs"]) == int(agg["n"]) == 100
+    assert int(stats["total_tokens"]) == int(agg["tt"])
+    assert int(stats["n_dead_acc"]) == 2
+
+    want_docs = pd.concat(
+        [base.drop(index=[4, 17]), changed], ignore_index=True
+    )
+    oracle = OracleIndex(want_docs)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    for q in QUERIES[:3] + ["tombcrashmark"]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+
+def test_crash_before_docdict_append_rerun_heals(spark, tmp_path):
+    """Crash window: the dead update wrote EVERYTHING except the final
+    doc_dict append (the r5 commit order: tombstones -> marker -> postings
+    -> stats -> summaries -> doc_dict). The rerun must orphan-tombstone the
+    dead run's ids, re-absorb the delta, and land with stats equal to the
+    live aggregate and float-exact scoring — the stale stats/summaries the
+    dead run left behind must not survive."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = make_docs_corpus(110, seed=71)
+    dA = str(tmp_path / "idx_ddcrash_base")
+    IndexBuilder(spark, dA, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="ddc-base"
+    )
+    changed = base.iloc[:20].copy()
+    changed["content"] = "ddcrashmark " + changed["content"]
+    changed["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in changed["content"]
+    ]
+    fresh = make_docs_corpus(25, seed=72)
+    fresh["path"] = "ddc/" + fresh["path"]
+    delta = pd.concat([changed, fresh], ignore_index=True)
+
+    dB = str(tmp_path / "idx_ddcrash_done")
+    shutil.copytree(dA, dB)
+    IncrementalIndexer(spark, dB).update(spark.createDataFrame(delta), "ddc-delta")
+
+    # crash state: every artifact of the dead run EXCEPT doc_dict
+    dC = str(tmp_path / "idx_ddcrash")
+    shutil.copytree(dB, dC)
+    shutil.rmtree(os.path.join(dC, "doc_dict"))
+    shutil.copytree(os.path.join(dA, "doc_dict"), os.path.join(dC, "doc_dict"))
+
+    inc = IncrementalIndexer(spark, dC)
+    m = inc.update(spark.createDataFrame(delta), "ddc-rerun")
+    assert m["rows_new"] == 45  # dict never saw the dead run's ids
+    assert m["stats_mode"] == "recompute"  # orphan recovery re-based stats
+
+    stats = spark.read.parquet(os.path.join(dC, "stats")).collect()[0]
+    tomb = spark.read.parquet(os.path.join(dC, "tombstones"))
+    live = spark.read.parquet(os.path.join(dC, "doc_dict")).join(
+        tomb, "doc_id", "left_anti"
+    )
+    agg = live.agg(F.count("*").alias("n"), F.sum("doc_len").alias("tt")).collect()[0]
+    assert int(stats["n_docs"]) == int(agg["n"]) == 110 + 25
+    assert int(stats["total_tokens"]) == int(agg["tt"])
+
+    want_docs = pd.concat([base.iloc[20:], changed, fresh], ignore_index=True)
+    oracle = OracleIndex(want_docs)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, dC)
+    for q in QUERIES[:3] + ["ddcrashmark"]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+    # compact then purges the dead run's duplicate posting generations
+    inc.compact()
+    post = spark.read.parquet(f"{dC}/postings")
+    assert post.groupBy("term").count().filter("count > 1").count() == 0
+    eng2 = SearchEngine(spark, dC)
+    for q in QUERIES[:2] + ["ddcrashmark"]:
+        got = path_scores(eng2.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, ("post-compact", q)
+
+
+def test_compact_folds_generations_across_arrow_batches(spark, tmp_path):
+    """A bucket's vocabulary spans MANY Arrow batches in the compaction
+    sweep (arrow maxRecordsPerBatch << bucket terms at realistic scale) — a
+    term whose generation rows straddle a batch boundary must still fold to
+    ONE row (r5 review #3: the per-batch fold silently left one row per
+    batch; the partition-local term sort + tail-carry makes the fold exact
+    with bounded memory). Forced here by shrinking the Arrow batch size far
+    below the fixture vocabulary."""
+    import os
+
+    base = make_docs_corpus(120, seed=81)
+    g2 = make_docs_corpus(50, seed=82)
+    g2["path"] = "gen2/" + g2["path"]
+    g3 = make_docs_corpus(50, seed=83)
+    g3["path"] = "gen3/" + g3["path"]
+    d = str(tmp_path / "idx_foldbatch")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="fb-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    inc.update(spark.createDataFrame(g2), "fb-d2")
+    inc.update(spark.createDataFrame(g3), "fb-d3")
+    assert os.path.exists(f"{d}/generations")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "7")  # far below the bucket vocabulary
+    try:
+        cm = inc.compact()
+    finally:
+        spark.conf.set(key, prev)
+    assert cm.get("noop") is not True
+    post = spark.read.parquet(f"{d}/postings")
+    multi = post.groupBy("term").count().filter("count > 1").count()
+    assert multi == 0
+
+    union = pd.concat([base, g2, g3], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is True
+    for q in QUERIES:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q

@@ -166,6 +166,19 @@ def test_decode_audio_rejects_compressed():
         mm.decode_audio(bytes(p))
 
 
+def test_decode_audio_zero_channels_is_valueerror():
+    """channels=0 in the fmt chunk must raise ValueError (the malformed-
+    payload class callers catch into decode_ok=False), not ZeroDivisionError
+    — a bare arithmetic error would fail the whole Spark task on one corrupt
+    blob (r5 review #4)."""
+    import numpy as np
+
+    p = bytearray(mm.encode_wav(np.zeros(4, np.int16), 8000))
+    p[22:24] = (0).to_bytes(2, "little")  # fmt chunk channel count
+    with pytest.raises(ValueError):
+        mm.decode_audio(bytes(p))
+
+
 def test_media_audio_features_matches_decode_audio(spark):
     feats = {
         r["doc_id"]: r
