@@ -607,6 +607,156 @@ ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
 )
 
 
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed retrieval — the billion-scale production recipe
+    with both structures engaged in ONE query plan: (1) coarse probe — the
+    NPROBE cells nearest the query (same broadcast argmin as ``ivf_topk``)
+    gate the candidate set; (2) ADC over the probed candidates' CODES only
+    (distance table = PQ_M×PQ_K broadcast rows; approximate distance =
+    the pinned-order sum d0+d1+d2+d3), shortlist = PQ_SHORTLIST smallest;
+    (3) exact cosine re-ranks the shortlist. Raw vectors are touched for
+    PQ_SHORTLIST rows; every scanned candidate costs PQ_M small codes.
+
+    This composition shares ONE global codebook across cells (codes here
+    are ``pq_codes``'s); production IVF-PQ usually encodes residuals
+    v − centroid(cell) for tighter quantization — the residual variant is
+    the same plan with the cell-centroid join moved before the encode,
+    traded off here for a DuckDB-checkable deterministic codebook.
+
+    At 10^12 vectors: the codes table is stored partitioned BY cell (the
+    ``ivf_materialize`` layout), so step 2's candidate gate is partition
+    pruning — the ADC scan streams NPROBE partitions of 4-byte codes and
+    the full-precision vectors stay cold."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= NB_CELLS)).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("d2_r", F.round(_l2sq(F.col("cv"), F.col("qv")), 9))
+        .orderBy(F.asc("d2_r"), F.asc("c"))
+        .limit(NPROBE)
+        .select(F.col("c").alias("cell"))
+    )
+    cand = ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select("vec_id")
+    pcents = _pq_cents_m(e)
+    dtab = pcents.crossJoin(F.broadcast(q)).select(
+        "c",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.round(_l2sq_sub(F.col("cv"), F.col("qv"), m), 9).alias("dq"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ),
+    )
+    wide = (
+        pq_codes(spark, sf_dir)
+        .join(cand, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+                for m in range(PQ_M)
+            ]
+        )
+    )
+    for m in range(PQ_M):
+        dm = dtab.filter(F.col("m") == m).select(
+            F.col("c").cast("int").alias(f"c{m}"), F.col("dq").alias(f"dq{m}")
+        )
+        wide = wide.join(F.broadcast(dm), f"c{m}")
+    adist = F.round(
+        F.col("dq0") + F.col("dq1") + F.col("dq2") + F.col("dq3"), 9
+    ).alias("adist_r")
+    short = (
+        wide.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adist)
+        .orderBy(F.asc("adist_r"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+    )
+    return (
+        e.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "sim_r")
+    )
+
+
+IVFPQ_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+icents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {NB_CELLS}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+celld AS (
+  SELECT e.vec_id, icents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({{sq_cell}}, 9) ASC, icents.c ASC
+         ) AS rn
+  FROM e, icents
+),
+cells AS (SELECT vec_id, c AS cell FROM celld WHERE rn = 1),
+probe AS (
+  SELECT c AS cell FROM icents, q
+  ORDER BY round({{sq_probe}}, 9) ASC, c ASC
+  LIMIT {NPROBE}
+),
+cand AS (SELECT cells.vec_id FROM cells JOIN probe ON cells.cell = probe.cell),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
+m AS (SELECT unnest(range(0, {PQ_M})) AS m),
+d AS (
+  SELECT e.vec_id, m.m, cents.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id, m.m
+           ORDER BY round({{sq_code}}, 9) ASC, cents.c ASC
+         ) AS rn
+  FROM e, cents, m
+),
+codes AS (SELECT vec_id, m, c AS code FROM d WHERE rn = 1),
+dtab AS (
+  SELECT m.m, cents.c, round({{sq_q}}, 9) AS dq
+  FROM cents, m, q
+),
+wide AS (
+  SELECT codes.vec_id,
+         max(CASE WHEN m = 0 THEN code END) AS c0,
+         max(CASE WHEN m = 1 THEN code END) AS c1,
+         max(CASE WHEN m = 2 THEN code END) AS c2,
+         max(CASE WHEN m = 3 THEN code END) AS c3
+  FROM codes JOIN cand ON codes.vec_id = cand.vec_id
+  GROUP BY codes.vec_id
+),
+short AS (
+  SELECT w.vec_id,
+         round(d0.dq + d1.dq + d2.dq + d3.dq, 9) AS adist_r
+  FROM wide w
+  JOIN dtab d0 ON d0.m = 0 AND d0.c = w.c0
+  JOIN dtab d1 ON d1.m = 1 AND d1.c = w.c1
+  JOIN dtab d2 ON d2.m = 2 AND d2.c = w.c2
+  JOIN dtab d3 ON d3.m = 3 AND d3.c = w.c3
+  WHERE w.vec_id != {QUERY_VEC_ID}
+  ORDER BY adist_r ASC, w.vec_id ASC
+  LIMIT {PQ_SHORTLIST}
+)
+SELECT e.vec_id AS vec_id, round({{cos}}, 6) AS sim_r
+FROM e JOIN short ON e.vec_id = short.vec_id CROSS JOIN q
+ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
+""".format(
+    sq_cell=_SQ_DUCK.format(a="e.v", b="icents.cv"),
+    sq_probe=_SQ_DUCK.format(a="icents.cv", b="q.qv"),
+    sq_code=_pq_sq_duck("e.v", "cents.cv"),
+    sq_q=_pq_sq_duck("cents.cv", "q.qv"),
+    cos=_cos_duck("e.v", "q.qv"),
+)
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_buckets": lsh_buckets,
@@ -617,6 +767,7 @@ QUERIES = {
     "sim_ivf_topk_mat": ivf_topk_materialized,
     "sim_pq_codes": pq_codes,
     "sim_pq_topk": pq_topk,
+    "sim_ivfpq_topk": ivfpq_topk,
 }
 
 ORACLES = {
@@ -631,4 +782,5 @@ ORACLES = {
     "sim_ivf_topk_mat": IVF_TOPK_SQL,
     "sim_pq_codes": PQ_CODES_SQL,
     "sim_pq_topk": PQ_TOPK_SQL,
+    "sim_ivfpq_topk": IVFPQ_TOPK_SQL,
 }

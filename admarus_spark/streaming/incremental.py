@@ -601,9 +601,7 @@ class IncrementalIndexer:
 
         from ..index.codec import decode_postings
 
-        fold_across_batches = has_gens
-
-        def rewrite(batches):
+        def make_rewrite(fold_across_batches: bool):
             """Batched compaction pass: every term's blobs join into
             ONE varint stream per column (blocks are self-contained), one
             vectorized decode, one dead-id filter, one lexsort back to
@@ -614,42 +612,46 @@ class IncrementalIndexer:
             input row, so a term's generations (multiple rows after append
             updates) fold into one output row with a summed df.
 
-            A partition arrives as MANY Arrow batches (arrow
-            maxRecordsPerBatch << bucket vocabulary), and a term whose
+            With ``fold_across_batches`` (the multi-generation slice): a
+            partition arrives as MANY Arrow batches (arrow
+            maxRecordsPerBatch << partition rows), and a term whose
             generation rows straddle a batch boundary must still fold to one
             row — accumulating the whole partition would break the sweep's
-            bounded memory (a partition holds index_bytes / n_partitions at
-            scale), so with pending generations the input is term-SORTED
-            within the partition and the trailing term group of each batch
-            is carried into the next (O(batch + one term's generations)
-            memory; r5 review #3). Tombstone-only compactions skip both the
-            sort and the carry: one row per term is already guaranteed."""
+            bounded memory, so the input is term-SORTED within the partition
+            and the trailing term group of each batch is carried into the
+            next (O(batch + one term's generations) memory; r5 review #3).
+            Single-row inputs (tombstone-only compactions and the
+            single-generation slice of a gens compaction) skip the carry:
+            one row per term is guaranteed, any batching is exact."""
 
-            dead_ids = bc_dead.value
-            pending: pd.DataFrame | None = None
-            for pdf in batches:
-                if pending is not None:
-                    pdf = pd.concat([pending, pdf], ignore_index=True)
-                    pending = None
-                n_rows = len(pdf)
-                if n_rows == 0:
-                    continue
-                if fold_across_batches:
-                    # sorted input ⇒ equal terms are adjacent, so only the
-                    # TAIL group can continue into the next batch: hold it
-                    last = pdf["term"].iat[n_rows - 1]
-                    tail = int((pdf["term"].to_numpy() == last).sum())
-                    pending = pdf.iloc[n_rows - tail :].reset_index(drop=True)
-                    pdf = pdf.iloc[: n_rows - tail]
-                    if len(pdf) == 0:
+            def rewrite(batches):
+                dead_ids = bc_dead.value
+                pending: pd.DataFrame | None = None
+                for pdf in batches:
+                    if pending is not None:
+                        pdf = pd.concat([pending, pdf], ignore_index=True)
+                        pending = None
+                    n_rows = len(pdf)
+                    if n_rows == 0:
                         continue
-                out = _fold_pdf(pdf, dead_ids)
-                if out is not None:
-                    yield out
-            if pending is not None and len(pending):
-                out = _fold_pdf(pending, dead_ids)
-                if out is not None:
-                    yield out
+                    if fold_across_batches:
+                        # sorted input ⇒ equal terms are adjacent, so only
+                        # the TAIL group can continue into the next batch
+                        last = pdf["term"].iat[n_rows - 1]
+                        tail = int((pdf["term"].to_numpy() == last).sum())
+                        pending = pdf.iloc[n_rows - tail :].reset_index(drop=True)
+                        pdf = pdf.iloc[: n_rows - tail]
+                        if len(pdf) == 0:
+                            continue
+                    out = _fold_pdf(pdf, dead_ids)
+                    if out is not None:
+                        yield out
+                if pending is not None and len(pending):
+                    out = _fold_pdf(pending, dead_ids)
+                    if out is not None:
+                        yield out
+
+            return rewrite
 
         def _fold_pdf(pdf, dead_ids):
             from ..index.codec import encode_postings_many
@@ -711,21 +713,57 @@ class IncrementalIndexer:
             raise ValueError(
                 "legacy index without block_lasts metadata: run a full rebuild"
             )
+        multi_bc = None
         if has_gens:
             # append updates leave a term's generations in SEPARATE files,
             # and file-aligned input splits would feed them to different
-            # rewrite partitions — one tb-keyed exchange co-locates them
-            # (same-term rows always share tb), then a partition-local term
-            # sort makes a term's rows ADJACENT across the Arrow batch
-            # stream so rewrite's tail-carry can fold them with O(batch)
-            # memory (see rewrite's docstring). Tombstone-only compactions
-            # skip both: one row per term is guaranteed, splits stay aligned.
+            # rewrite partitions. Only MULTI-row terms (the vocabulary
+            # updated since the last compaction — typically a small
+            # fraction of the index) actually need co-location, so the
+            # sweep splits: single-row terms keep the shuffle-free,
+            # file-aligned per-batch fold; multi-row terms take ONE
+            # tb-keyed exchange + a partition-local term sort so the
+            # tail-carry folds them exactly across Arrow batches (see
+            # make_rewrite). Sorting/shuffling the WHOLE blob table here
+            # (the first r5 attempt) measurably multiplied compact cost —
+            # Tungsten sorts of multi-MB binary rows spill; don't re-widen
+            # this path. Above SPARK_GRAFT_COMPACT_MULTI_CAP multi terms
+            # the broadcast split would not fit the driver and everything
+            # takes the exchange+sort path instead.
+            multi_terms = (
+                post.groupBy("term").count().filter(F.col("count") > 1).select("term")
+            ).persist()
+            n_multi = multi_terms.count()
+            multi_cap = int(os.environ.get("SPARK_GRAFT_COMPACT_MULTI_CAP", "2000000"))
             n_b = int(post.agg(F.max("tb")).collect()[0][0] or 0) + 1
             parallelism = spark.sparkContext.defaultParallelism
-            post = post.repartition(
-                max(1, min(max(parallelism, 1) * 2, n_b)), "tb"
-            ).sortWithinPartitions("term")
-        new_post = post.mapInPandas(rewrite, POSTINGS_SCHEMA + ", tb int")
+            n_parts = max(1, min(max(parallelism, 1) * 2, n_b))
+            if n_multi == 0:
+                multi_terms.unpersist()
+                new_post = post.mapInPandas(
+                    make_rewrite(False), POSTINGS_SCHEMA + ", tb int"
+                )
+            elif n_multi <= multi_cap:
+                multi_bc = multi_terms  # unpersisted after the write below
+                single = post.join(F.broadcast(multi_terms), "term", "left_anti")
+                multi = (
+                    post.join(F.broadcast(multi_terms), "term", "left_semi")
+                    .repartition(n_parts, "tb")
+                    .sortWithinPartitions("term")
+                )
+                new_post = single.mapInPandas(
+                    make_rewrite(False), POSTINGS_SCHEMA + ", tb int"
+                ).unionByName(
+                    multi.mapInPandas(make_rewrite(True), POSTINGS_SCHEMA + ", tb int")
+                )
+            else:
+                multi_terms.unpersist()
+                allrows = post.repartition(n_parts, "tb").sortWithinPartitions("term")
+                new_post = allrows.mapInPandas(
+                    make_rewrite(True), POSTINGS_SCHEMA + ", tb int"
+                )
+        else:
+            new_post = post.mapInPandas(make_rewrite(False), POSTINGS_SCHEMA + ", tb int")
         # input splits are partition-pruned per tb, so the partitionBy write
         # needs no shuffle; swap keeps readers consistent
         post_next = paths.postings + "_next"
@@ -736,6 +774,8 @@ class IncrementalIndexer:
             .partitionBy("tb")
             .parquet(post_next)
         )
+        if multi_bc is not None:
+            multi_bc.unpersist()
         dd_next = paths.doc_dict + "_next"
         shutil.rmtree(dd_next, ignore_errors=True)
         live.write.mode("overwrite").parquet(dd_next)

@@ -844,3 +844,44 @@ def test_compact_folds_generations_across_arrow_batches(spark, tmp_path):
         got = path_scores(eng.search(q, 10**6))
         want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
         assert got == want, q
+
+
+def test_compact_over_cap_takes_whole_table_exchange(spark, tmp_path, monkeypatch):
+    """Above SPARK_GRAFT_COMPACT_MULTI_CAP multi-row terms, the split sweep
+    would not fit its broadcast — compact() must fall back to the whole-table
+    exchange + sort (every row through the tail-carry fold) and stay exact.
+    Forced with cap=0 + a tiny Arrow batch so the carry path is stressed."""
+    import os
+
+    base = make_docs_corpus(120, seed=91)
+    g2 = make_docs_corpus(50, seed=92)
+    g2["path"] = "gen2/" + g2["path"]
+    d = str(tmp_path / "idx_capfold")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="cap-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    inc.update(spark.createDataFrame(g2), "cap-d2")
+    assert os.path.exists(f"{d}/generations")
+
+    monkeypatch.setenv("SPARK_GRAFT_COMPACT_MULTI_CAP", "0")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        cm = inc.compact()
+    finally:
+        spark.conf.set(key, prev)
+    assert cm.get("noop") is not True
+    post = spark.read.parquet(f"{d}/postings")
+    assert post.groupBy("term").count().filter("count > 1").count() == 0
+
+    union = pd.concat([base, g2], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    assert eng.wand_safe is True
+    for q in QUERIES:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
