@@ -509,8 +509,21 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes billion-scale ANN fit in RAM; raw vectors are touched for
     PQ_SHORTLIST rows only."""
     e = _emb(spark, sf_dir)
-    cents = _pq_cents_m(e)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    return _adc_rerank(e, q, pq_codes(spark, sf_dir))
+
+
+def _adc_rerank(e: DataFrame, q: DataFrame, codes: DataFrame) -> DataFrame:
+    """Stages 2+3 of the PQ recipe, shared by ``pq_topk`` (codes = the
+    full table) and ``ivfpq_topk`` (codes pre-gated by the coarse probe):
+    ADC — the query's (m, c) distance table against the codebook (PQ_M ×
+    PQ_K broadcast rows), each vector's approximate distance is the
+    FIXED-ORDER sum of its codes' table entries (d0 + d1 + d2 + d3 —
+    pinned, so both engines add identical rounded doubles identically),
+    shortlist = PQ_SHORTLIST smallest — then exact cosine re-ranks the
+    shortlist only. ONE copy of the float-parity-critical expression tree;
+    its DuckDB twin is ``_adc_rerank_sql`` — change them TOGETHER."""
+    cents = _pq_cents_m(e)
     dtab = cents.crossJoin(F.broadcast(q)).select(
         "c",
         F.inline(
@@ -525,15 +538,11 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    wide = (
-        pq_codes(spark, sf_dir)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
-                for m in range(PQ_M)
-            ]
-        )
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
     )
     for m in range(PQ_M):
         dm = dtab.filter(F.col("m") == m).select(
@@ -559,31 +568,36 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_TOPK_SQL = f"""
+def _adc_rerank_sql(extra_ctes: str = "", codes_gate: str = "") -> str:
+    """DuckDB twin of ``_adc_rerank`` (+ the ``pq_codes`` encode it scans):
+    ``extra_ctes`` land between the ``q`` and ``d`` CTEs (must end with a
+    trailing comma), ``codes_gate`` is a JOIN clause appended to the wide
+    aggregation's FROM to gate which codes are scanned."""
+    return """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
-m AS (SELECT unnest(range(0, {PQ_M})) AS m),
-q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {pq_k}),
+m AS (SELECT unnest(range(0, {pq_m})) AS m),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),{extra}
 d AS (
   SELECT e.vec_id, m.m, cents.c,
          row_number() OVER (
            PARTITION BY e.vec_id, m.m
-           ORDER BY round({{sq_code}}, 9) ASC, cents.c ASC
+           ORDER BY round({sq_code}, 9) ASC, cents.c ASC
          ) AS rn
   FROM e, cents, m
 ),
 codes AS (SELECT vec_id, m, c AS code FROM d WHERE rn = 1),
 dtab AS (
-  SELECT m.m, cents.c, round({{sq_q}}, 9) AS dq
+  SELECT m.m, cents.c, round({sq_q}, 9) AS dq
   FROM cents, m, q
 ),
 wide AS (
-  SELECT vec_id,
+  SELECT codes.vec_id,
          max(CASE WHEN m = 0 THEN code END) AS c0,
          max(CASE WHEN m = 1 THEN code END) AS c1,
          max(CASE WHEN m = 2 THEN code END) AS c2,
          max(CASE WHEN m = 3 THEN code END) AS c3
-  FROM codes GROUP BY vec_id
+  FROM codes{gate} GROUP BY codes.vec_id
 ),
 short AS (
   SELECT w.vec_id,
@@ -593,18 +607,28 @@ short AS (
   JOIN dtab d1 ON d1.m = 1 AND d1.c = w.c1
   JOIN dtab d2 ON d2.m = 2 AND d2.c = w.c2
   JOIN dtab d3 ON d3.m = 3 AND d3.c = w.c3
-  WHERE w.vec_id != {QUERY_VEC_ID}
+  WHERE w.vec_id != {qid}
   ORDER BY adist_r ASC, w.vec_id ASC
-  LIMIT {PQ_SHORTLIST}
+  LIMIT {shortlist}
 )
-SELECT e.vec_id AS vec_id, round({{cos}}, 6) AS sim_r
+SELECT e.vec_id AS vec_id, round({cos}, 6) AS sim_r
 FROM e JOIN short ON e.vec_id = short.vec_id CROSS JOIN q
-ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
+ORDER BY sim_r DESC, e.vec_id ASC LIMIT {top_k}
 """.format(
-    sq_code=_pq_sq_duck("e.v", "cents.cv"),
-    sq_q=_pq_sq_duck("cents.cv", "q.qv"),
-    cos=_cos_duck("e.v", "q.qv"),
-)
+        pq_k=PQ_K,
+        pq_m=PQ_M,
+        qid=QUERY_VEC_ID,
+        shortlist=PQ_SHORTLIST,
+        top_k=TOP_K,
+        extra=extra_ctes,
+        gate=codes_gate,
+        sq_code=_pq_sq_duck("e.v", "cents.cv"),
+        sq_q=_pq_sq_duck("cents.cv", "q.qv"),
+        cos=_cos_duck("e.v", "q.qv"),
+    )
+
+
+PQ_TOPK_SQL = _adc_rerank_sql()
 
 
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,120 +664,35 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c").alias("cell"))
     )
     cand = ivf_cells(spark, sf_dir).join(F.broadcast(probe), "cell").select("vec_id")
-    pcents = _pq_cents_m(e)
-    dtab = pcents.crossJoin(F.broadcast(q)).select(
-        "c",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.round(_l2sq_sub(F.col("cv"), F.col("qv"), m), 9).alias("dq"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ),
-    )
-    wide = (
-        pq_codes(spark, sf_dir)
-        .join(cand, "vec_id")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
-                for m in range(PQ_M)
-            ]
-        )
-    )
-    for m in range(PQ_M):
-        dm = dtab.filter(F.col("m") == m).select(
-            F.col("c").cast("int").alias(f"c{m}"), F.col("dq").alias(f"dq{m}")
-        )
-        wide = wide.join(F.broadcast(dm), f"c{m}")
-    adist = F.round(
-        F.col("dq0") + F.col("dq1") + F.col("dq2") + F.col("dq3"), 9
-    ).alias("adist_r")
-    short = (
-        wide.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", adist)
-        .orderBy(F.asc("adist_r"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
-    )
-    return (
-        e.join(F.broadcast(short.select("vec_id")), "vec_id")
-        .crossJoin(F.broadcast(q))
-        .withColumn("sim_r", F.round(_cos(F.col("v"), F.col("qv")), 6))
-        .orderBy(F.desc("sim_r"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", "sim_r")
-    )
+    return _adc_rerank(e, q, pq_codes(spark, sf_dir).join(cand, "vec_id"))
 
 
-IVFPQ_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-icents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {NB_CELLS}),
-q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+_IVFPQ_EXTRA_CTES = """
+icents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {nb}),
 celld AS (
   SELECT e.vec_id, icents.c,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY round({{sq_cell}}, 9) ASC, icents.c ASC
+           ORDER BY round({sq_cell}, 9) ASC, icents.c ASC
          ) AS rn
   FROM e, icents
 ),
 cells AS (SELECT vec_id, c AS cell FROM celld WHERE rn = 1),
 probe AS (
   SELECT c AS cell FROM icents, q
-  ORDER BY round({{sq_probe}}, 9) ASC, c ASC
-  LIMIT {NPROBE}
+  ORDER BY round({sq_probe}, 9) ASC, c ASC
+  LIMIT {nprobe}
 ),
-cand AS (SELECT cells.vec_id FROM cells JOIN probe ON cells.cell = probe.cell),
-cents AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {PQ_K}),
-m AS (SELECT unnest(range(0, {PQ_M})) AS m),
-d AS (
-  SELECT e.vec_id, m.m, cents.c,
-         row_number() OVER (
-           PARTITION BY e.vec_id, m.m
-           ORDER BY round({{sq_code}}, 9) ASC, cents.c ASC
-         ) AS rn
-  FROM e, cents, m
-),
-codes AS (SELECT vec_id, m, c AS code FROM d WHERE rn = 1),
-dtab AS (
-  SELECT m.m, cents.c, round({{sq_q}}, 9) AS dq
-  FROM cents, m, q
-),
-wide AS (
-  SELECT codes.vec_id,
-         max(CASE WHEN m = 0 THEN code END) AS c0,
-         max(CASE WHEN m = 1 THEN code END) AS c1,
-         max(CASE WHEN m = 2 THEN code END) AS c2,
-         max(CASE WHEN m = 3 THEN code END) AS c3
-  FROM codes JOIN cand ON codes.vec_id = cand.vec_id
-  GROUP BY codes.vec_id
-),
-short AS (
-  SELECT w.vec_id,
-         round(d0.dq + d1.dq + d2.dq + d3.dq, 9) AS adist_r
-  FROM wide w
-  JOIN dtab d0 ON d0.m = 0 AND d0.c = w.c0
-  JOIN dtab d1 ON d1.m = 1 AND d1.c = w.c1
-  JOIN dtab d2 ON d2.m = 2 AND d2.c = w.c2
-  JOIN dtab d3 ON d3.m = 3 AND d3.c = w.c3
-  WHERE w.vec_id != {QUERY_VEC_ID}
-  ORDER BY adist_r ASC, w.vec_id ASC
-  LIMIT {PQ_SHORTLIST}
-)
-SELECT e.vec_id AS vec_id, round({{cos}}, 6) AS sim_r
-FROM e JOIN short ON e.vec_id = short.vec_id CROSS JOIN q
-ORDER BY sim_r DESC, e.vec_id ASC LIMIT {TOP_K}
-""".format(
+cand AS (SELECT cells.vec_id FROM cells JOIN probe ON cells.cell = probe.cell),""".format(
+    nb=NB_CELLS,
+    nprobe=NPROBE,
     sq_cell=_SQ_DUCK.format(a="e.v", b="icents.cv"),
     sq_probe=_SQ_DUCK.format(a="icents.cv", b="q.qv"),
-    sq_code=_pq_sq_duck("e.v", "cents.cv"),
-    sq_q=_pq_sq_duck("cents.cv", "q.qv"),
-    cos=_cos_duck("e.v", "q.qv"),
+)
+
+IVFPQ_TOPK_SQL = _adc_rerank_sql(
+    extra_ctes=_IVFPQ_EXTRA_CTES,
+    codes_gate=" JOIN cand ON codes.vec_id = cand.vec_id",
 )
 
 

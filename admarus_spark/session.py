@@ -26,15 +26,35 @@ def get_spark(
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    # local[N] → match shuffle partitions to cores (guide: not 200)
-    if shuffle_partitions is None:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    # A spark-submit/pyspark-launched driver connects to the launcher's
+    # already-running JVM gateway (PYSPARK_GATEWAY_PORT is set ONLY on that
+    # path) whose spark.master came from --master/spark-defaults — setting
+    # a master here would silently pin cluster deployments to a one-box
+    # local master. Plain-python launches (tests, bench, notebooks) own the
+    # JVM and default to a local master sized by SPARK_GRAFT_CPUS.
+    # (PYSPARK_GATEWAY_PORT, not SPARK_ENV_LOADED: the latter leaks into
+    # any shell that sourced load-spark-env.sh — e.g. docker entrypoints —
+    # where no gateway exists and a master must still be synthesized.)
+    launcher_owned = bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
+    if master is None and not launcher_owned:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # local[N] → match shuffle partitions to cores (guide: not 200). ONLY
+    # for local masters: on a real cluster the right number depends on
+    # executors that may not have registered yet (early defaultParallelism
+    # on YARN is ~2), so non-local sessions keep Spark's default + AQE
+    # coalescing unless the caller/submit conf pins one. A launcher-owned
+    # LOCAL master is sized after the session exists (runtime-settable).
+    if shuffle_partitions is None and master is not None and master.startswith("local"):
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = os.cpu_count() or 32 if n == "*" else int(n)
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -49,12 +69,9 @@ def get_spark(
         # filtered localhost TCP can stall worker setup for seconds per task
         .config("spark.python.unix.domain.socket.enabled", "true")
         # Reused workers with a pool sized to the core count (the default
-        # pool cap throws warm workers away under bursts), forked from a
-        # daemon that pre-imports the heavy stack (see daemon_prewarm.py) so
-        # cold forks skip the ~1s pandas/numpy/pyarrow import.
+        # pool cap throws warm workers away under bursts).
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.factory.idleWorkerMaxPoolSize", "64")
-        .config("spark.python.daemon.module", "admarus_spark.daemon_prewarm")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
@@ -67,9 +84,40 @@ def get_spark(
             f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} -XX:+AlwaysPreTouch",
         )
     )
+    # Worker daemon that pre-imports the heavy stack (daemon_prewarm.py) so
+    # cold forks skip the ~1s pandas/numpy/pyarrow import. The daemon
+    # process starts BEFORE any task, so it can only import admarus_spark
+    # from the PYTHONPATH its executor inherits: true when the executor
+    # lives in a JVM forked from THIS process (plain-python local master —
+    # the prepend above lands before the fork), false for remote executors
+    # (driver env never reaches them) and under spark-submit --py-files
+    # (py-files land on worker sys.path at task deserialization, after
+    # daemon start). Default: on only for plain-python LOCAL sessions;
+    # SPARK_GRAFT_PREWARM_DAEMON=1/0 forces it (set 1 on clusters with the
+    # package pip-installed on every worker).
+    prewarm = os.environ.get("SPARK_GRAFT_PREWARM_DAEMON")
+    local_owned_jvm = (
+        not launcher_owned and master is not None and master.startswith("local")
+    )
+    if prewarm == "1" or (prewarm != "0" and local_owned_jvm):
+        b = b.config("spark.python.daemon.module", "admarus_spark.daemon_prewarm")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    if (
+        shuffle_partitions is None
+        and spark.sparkContext.master.startswith("local")
+        and not spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions")
+    ):
+        # launcher-owned local master with no --conf override: size to the
+        # core count (defaultParallelism is exact for local[N]). Non-local
+        # masters are left to Spark's default + AQE coalescing — early
+        # defaultParallelism on a cluster undercounts executors that have
+        # not registered yet.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

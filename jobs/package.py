@@ -5,7 +5,7 @@ import os
 import zipfile
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "admarus_spark.zip")
+OUT = os.environ.get("ADMARUS_PKG_OUT", os.path.join(ROOT, "admarus_spark.zip"))
 
 
 def main() -> None:
