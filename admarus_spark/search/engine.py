@@ -192,6 +192,13 @@ class SearchEngine:
         # set holds changed-doc old generations + crash-recovery orphans and
         # compact() clears it) — feeds the live-df correction below
         self._dead_cache: np.ndarray | None = None
+        # true max live doc id, lazily (one tiny columnar aggregate, cached
+        # per engine life / refresh()): ids are append-assigned and never
+        # reused, so after update()+compact() cycles the live set is SPARSE
+        # in [0, max_id] with max_id >> n_docs — doc-range shards sized by
+        # n_docs would pile every recent doc into the open-ended last shard
+        # (r5 review)
+        self._max_id_cache: int | None = None
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = _sum_df(self.postings.select("term", "df").collect())
@@ -326,8 +333,12 @@ class SearchEngine:
             # block skipping is rank-safe ONLY for pure max-folds with no
             # metadata filters: on AND/n-of-m/NOT shapes a skipped block
             # zeroes a term's pivot column for docs still present via another
-            # term, flipping the gate. wand="on" therefore cannot override
-            # the shape guard — it only defeats the avgdl-staleness check.
+            # term, flipping the gate. wand="on" overrides NEITHER guard:
+            # not the shape guard, and not wand_safe (stale bm_avgdl or
+            # pending tombstones make the stored block maxes a lie — a
+            # forced skip could drop a true top-k block). The knob only
+            # distinguishes "auto"/"on" from "off" (the full-decode
+            # baseline); exactness is never traded.
             shape_safe = is_max_fold(query.root) and not pos_filters and k is not None
             use_wand = shape_safe and self.wand_safe and wand in ("on", "auto")
             # conjunctive decode pruning (the AND/n-of-n analog of WAND):
@@ -640,10 +651,15 @@ class SearchEngine:
                 )
                 for c in groups
             ]
-        # doc ids are dense [0, n_docs) on every group-eval-eligible index
-        # (tombstoned indexes route to the pivot path); the last shard's
-        # bound is open so a just-appended generation's ids stay covered
-        max_id = max(int(self.n_docs), 1)
+        # shard ranges cover the TRUE live id span [0, max doc_id]: ids are
+        # append-assigned and never reused, so n_docs (the live COUNT) can
+        # be far below the max id after update()+compact() cycles — sizing
+        # by n_docs would funnel every recent doc into the open-ended last
+        # shard and regress the batch to component-bound (r5 review). The
+        # last shard's bound stays open so a generation appended between
+        # the cache fill and this query is still covered (rank-safe either
+        # way — spans only route rows, never skip them).
+        max_id = max(self._max_live_doc_id() + 1, 1)
         tasks: list[tuple[int, int | None, int | None, float]] = []
         for i, comp in enumerate(groups):
             s = n_shards[i]
@@ -911,6 +927,14 @@ class SearchEngine:
                 return None
             by_term[r["term"]] = r
         return by_term
+
+    def _max_live_doc_id(self) -> int:
+        """Max doc id in the live dictionary (column-pruned aggregate, one
+        KB-scale job, cached until ``refresh()``). -1 on an empty corpus."""
+        if self._max_id_cache is None:
+            r = self.doc_dict.agg(F.max("doc_id")).collect()[0][0]
+            self._max_id_cache = -1 if r is None else int(r)
+        return self._max_id_cache
 
     def _dead_ids_np(self) -> np.ndarray:
         if self._dead_cache is None:

@@ -30,6 +30,28 @@ from ..query.ast import Filter, NAmong, Not, QueryComp, Word
 TITLE_TOKENS = 8
 MIN_GROUP_CHILDREN = 4  # groups with <= 3 children are disbanded (G3)
 
+# DataFrames persisted by the grouping passes (each intermediate feeds 2-3
+# downstream joins; without caching the upstream SEARCH would re-scan the
+# postings per branch). The returned result is lazy, so they cannot be
+# unpersisted before the caller materializes it — callers either pass their
+# own ``tracker`` list (the engine's _track/release_cache pattern) or rely
+# on this module registry + ``release_cache()``, which long-lived serving
+# sessions should call between queries (r5 review: the engine documents
+# exactly this lifetime discipline; grouping must not silently leak).
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def release_cache() -> None:
+    """Unpersist intermediates cached by previous grouping calls."""
+    for df in _LIVE_CACHE:
+        df.unpersist()
+    _LIVE_CACHE.clear()
+
+
+def _persist(df: DataFrame, tracker: list | None) -> DataFrame:
+    (_LIVE_CACHE if tracker is None else tracker).append(df.persist())
+    return df
+
 
 def compile_title_match(comp: QueryComp, toks: Column) -> Column:
     """Boolean AST eval over a token-array column (format.rs:114-141: the
@@ -64,7 +86,10 @@ def group_anchored(
     ``results``: (score, path, ...) — e.g. ``SearchEngine.search(q, None)``.
     ``titles``: (path, ttoks array<string>) title token arrays, keyed by the
     same path namespace (engine-internal doc ids are NOT the source table's
-    ids — path is the stable join key).
+    ids — path is the stable join key). On a multi-repo corpus (titles
+    carrying repo) the caller's ``group_key`` expression must include repo —
+    a path-prefix key alone groups across repos; ``group_walk`` handles the
+    repo namespace automatically.
     """
     tm = compile_title_match(query_root, F.col("ttoks"))
     # Join on (repo, path) when both sides carry repo — path alone fans out
@@ -76,11 +101,24 @@ def group_anchored(
         if "repo" in results.columns and "repo" in titles.columns
         else ["path"]
     )
+    # key for DISBANDED singletons: repo-qualified when the join itself is
+    # repo-keyed — path alone is ambiguous across repos (r5 review). When
+    # titles are keyed by path only, the caller is asserting path IS the
+    # unique namespace and keys stay bare. Null group keys (a nullable
+    # group_key expression) coalesce to the singleton key so the row still
+    # disbands and is emitted — an equi-join on a null grp would silently
+    # drop it.
+    self_key = (
+        F.concat_ws("/", F.col("repo"), F.col("path"))
+        if "repo" in join_keys
+        else F.col("path")
+    )
     per = (
         results.join(titles, join_keys, "left")
         .withColumn("tm", F.coalesce(tm, F.lit(False)))
-        .withColumn("grp", group_key)
-        .select("grp", "path", "score", "tm")
+        .withColumn("_sk", self_key)
+        .withColumn("grp", F.coalesce(group_key, F.col("_sk")))
+        .select("grp", "_sk", "score", "tm")
     )
     g = per.groupBy("grp").agg(
         F.max("score").alias("best"),
@@ -95,7 +133,7 @@ def group_anchored(
     )
     disband_keys = g.filter(~keep_pred).select("grp")
     disbanded = per.join(disband_keys, "grp").select(
-        F.col("path").alias("key"),
+        F.col("_sk").alias("key"),
         F.round("score", 9).alias("score_r"),
         F.lit(1).cast("long").alias("members"),
     )
@@ -134,6 +172,7 @@ def group_walk(
     query_root: QueryComp,
     limit: int | None = None,
     min_children: int = MIN_GROUP_CHILDREN,
+    tracker: list | None = None,
 ) -> DataFrame:
     """G2 longest-matching-ancestor grouping, the full reference walk
     (``/root/reference/webui/src/result/ranked.rs:107-162``) made
@@ -155,7 +194,13 @@ def group_walk(
     - group score = best member incl. parent (G4, grouped.rs:28-31).
 
     Returns (key, score_r, members) ordered by (score_r desc, key asc);
-    ``members`` counts parent + attached + re-attached.
+    ``members`` counts parent + attached + re-attached. When the title join
+    is (repo, path)-keyed, the walk runs over the NAMESPACED path
+    ``repo/path`` — the repo becomes the root segment of every ancestor
+    chain, so groups and anchors can never mix documents from different
+    repos that merely share directory names like ``src/`` (r5 review);
+    emitted keys carry the repo prefix. Persisted intermediates register in
+    ``tracker`` (or the module registry — see ``release_cache``).
     """
     tm = compile_title_match(query_root, F.col("ttoks"))
     join_keys = (
@@ -163,13 +208,17 @@ def group_walk(
         if "repo" in results.columns and "repo" in titles.columns
         else ["path"]
     )
+    joined = results.join(titles, join_keys, "left")
+    if "repo" in join_keys:
+        joined = joined.withColumn(
+            "path", F.concat_ws("/", F.col("repo"), F.col("path"))
+        )
     parts = F.split(F.col("path"), "/")
-    per = (
-        results.join(titles, join_keys, "left")
-        .withColumn("tm", F.coalesce(tm, F.lit(False)))
+    per = _persist(
+        joined.withColumn("tm", F.coalesce(tm, F.lit(False)))
         .withColumn("dir", F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/"))
-        .select("path", "score", "tm", "dir")
-        .persist()
+        .select("path", "score", "tm", "dir"),
+        tracker,
     )
     anchors = per.filter(F.col("tm")).withColumn(
         "rk",
@@ -185,7 +234,7 @@ def group_walk(
         .select("path", "score")
         .unionByName(anchors.filter(F.col("rk") > 1).select("path", "score"))
     )
-    att = _attach_longest(walkers, parents).persist()
+    att = _persist(_attach_longest(walkers, parents), tracker)
     attached = att.filter(F.col("gkey").isNotNull())
     unattached = att.filter(F.col("gkey").isNull()).select("path", "score")
 
@@ -209,7 +258,7 @@ def group_walk(
             disb.select(F.col("ppath").alias("path"), F.col("pscore").alias("score"))
         )
     )
-    ratt = _attach_longest(rewalk, kept.select("gkey")).persist()
+    ratt = _persist(_attach_longest(rewalk, kept.select("gkey")), tracker)
     r_on = ratt.filter(F.col("gkey").isNotNull())
     r_off = ratt.filter(F.col("gkey").isNull()).select("path", "score")
     rg = r_on.groupBy("gkey").agg(

@@ -52,7 +52,14 @@ def best_extract(content: str, positive_terms: list[str]) -> str | None:
 def with_snippets(results: DataFrame, docs: DataFrame, positive_terms: list[str]) -> DataFrame:
     """Attach the best extract to top-k results. ``docs`` is the source table
     (repo, path, content); the join touches only the k winners (broadcast),
-    the snippet scoring is an Arrow-batched pandas UDF over k rows."""
+    the snippet scoring is an Arrow-batched pandas UDF over k rows.
+
+    A winner whose (repo, path) is missing from ``docs`` (a stale or subset
+    source table — e.g. re-read after an incremental update replaced the
+    path) is emitted with ``extract`` null rather than silently dropped from
+    the top-k (r5 review; the big side cannot sit on the preserved side of
+    an outer broadcast join, so the missing winners come back via a k-row
+    anti-join union instead)."""
     terms = list(positive_terms)
 
     @F.pandas_udf(T.StringType())
@@ -62,6 +69,13 @@ def with_snippets(results: DataFrame, docs: DataFrame, positive_terms: list[str]
     joined = docs.select("repo", "path", "content").join(
         F.broadcast(results), ["repo", "path"]
     )
-    out = joined.withColumn("extract", snippet_udf(F.col("content"))).drop("content")
+    found = joined.withColumn("extract", snippet_udf(F.col("content"))).drop("content")
     cols = [c for c in results.columns] + ["extract"]
-    return out.select(*cols).orderBy(F.desc("score"), F.asc("doc_id"))
+    missing = results.join(
+        F.broadcast(found.select("repo", "path")), ["repo", "path"], "left_anti"
+    ).withColumn("extract", F.lit(None).cast("string"))
+    return (
+        found.select(*cols)
+        .unionByName(missing.select(*cols))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

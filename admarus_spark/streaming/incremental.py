@@ -91,6 +91,8 @@ class IncrementalIndexer:
     def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
         spark = self.spark
         paths = IndexPaths(self.index_dir)
+        _heal_swap(paths.postings)
+        _heal_swap(paths.doc_dict)
         t0 = time.time()
         stats = spark.read.parquet(paths.stats).collect()[0]
         dd = spark.read.parquet(paths.doc_dict)
@@ -100,6 +102,23 @@ class IncrementalIndexer:
         if "content_sha256" not in delta.columns:
             delta = delta.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         n_delta = delta.count()
+        # Within-delta dedup: a crawl batch may carry the same (repo, path)
+        # twice (two versions observed in one tick). Without this, both
+        # copies pass the live-corpus anti-join, the manifest assigns each
+        # copy its own doc_id and the id join fans out 2×2 — duplicated
+        # postings, double-counted df, and two live dictionary rows for one
+        # path; a twice-changed path would also tombstone its old id twice
+        # and double-subtract its length from the running stats (r5 review).
+        # One deterministic winner per path: the row with the greatest
+        # (content_sha256, other columns) — a batch has no arrival order,
+        # any pinned total order works, and re-runs pick the same winner.
+        other_cols = [c for c in delta.columns if c not in ("repo", "path")]
+        ordered = ["content_sha256"] + [c for c in other_cols if c != "content_sha256"]
+        delta = (
+            delta.groupBy("repo", "path")
+            .agg(F.max(F.struct(*[F.col(c).alias(c) for c in ordered])).alias("_w"))
+            .select("repo", "path", *[F.col(f"_w.{c}").alias(c) for c in other_cols])
+        )
         # LIVE view of the corpus: doc_dict minus tombstoned ids (a changed
         # path's previous generation). Dead ids are PINNED driver-side (the
         # set is small by design — a full rebuild compacts it): every later
@@ -122,13 +141,7 @@ class IncrementalIndexer:
         # whose postings never landed (crash between marker write and the
         # append) tombstones ids no posting carries — a no-op.
         gen_path = os.path.join(self.index_dir, "generations")
-        marker_max = -1
-        if os.path.exists(gen_path):
-            with open(gen_path) as f:
-                for ln in f:
-                    parts = ln.rstrip("\n").split("\t")
-                    if len(parts) == 3:
-                        marker_max = max(marker_max, int(parts[2]))
+        marker_max = _marker_max_id(gen_path)
         orphan_recovery = marker_max > max_id
         if orphan_recovery:
             dead_set = set(dead_prev)
@@ -340,15 +353,10 @@ class IncrementalIndexer:
         # against the post-append table (the delta rows then dedup against
         # THEMSELVES and the recompute is empty). Driver traffic is bounded:
         # |affected| × FILTER_BITS/8 (125 KB) rows.
-        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (tb,) = key
-            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
-            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
-
         delta_summ = (
             new_posts.select("tb", "term")
             .groupBy("tb")
-            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
+            .applyInPandas(_terms_bloom_of, "tb int, kind string, filter binary")
             .collect()
         )
         new_posts.unpersist()
@@ -513,7 +521,7 @@ class IncrementalIndexer:
             and n_dead / n_docs >= self.auto_compact_frac
         )
         if not trigger and self.auto_compact_gens is not None:
-            gen_path = os.path.join(self.index_dir, "generations")
+            # gen_path bound at the top of update()
             if os.path.exists(gen_path):
                 with open(gen_path) as f:
                     pending = sum(1 for _ in f)
@@ -554,6 +562,8 @@ class IncrementalIndexer:
         partition-aligned read."""
         spark = self.spark
         paths = IndexPaths(self.index_dir)
+        _heal_swap(paths.postings)
+        _heal_swap(paths.doc_dict)
         t0 = time.time()
         tomb_path = os.path.join(self.index_dir, "tombstones")
         gen_path = os.path.join(self.index_dir, "generations")
@@ -580,12 +590,7 @@ class IncrementalIndexer:
         # of their existence, and a later update() would re-assign the same
         # ids (duplicate postings).
         if has_gens:
-            marker_max = -1
-            with open(gen_path) as f:
-                for ln in f:
-                    parts = ln.rstrip("\n").split("\t")
-                    if len(parts) == 3:
-                        marker_max = max(marker_max, int(parts[2]))
+            marker_max = _marker_max_id(gen_path)
             dd_max = dd.agg(F.max("doc_id")).collect()[0][0]
             dd_max = -1 if dd_max is None else int(dd_max)
             if marker_max > dd_max:
@@ -802,16 +807,11 @@ class IncrementalIndexer:
         # meta bloom over the live dictionary, global rollup
         from ..index.build import bloom_rollup_rows, meta_bloom_bytes
 
-        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (tb,) = key
-            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
-            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
-
         post_now = spark.read.parquet(paths.postings)
         terms_summ = (
             post_now.select("tb", "term")
             .groupBy("tb")
-            .applyInPandas(bloom_of, "tb int, kind string, filter binary")
+            .applyInPandas(_terms_bloom_of, "tb int, kind string, filter binary")
             .persist()
         )
         meta_bytes, _ = meta_bloom_bytes(spark.read.parquet(paths.doc_dict))
@@ -852,12 +852,56 @@ class IncrementalIndexer:
         return handle
 
 
+def _terms_bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: ONE per-bucket "terms" bloom summary row.
+    Shared by update()'s delta blooms and compact()'s full rebuild so the
+    FILTER_BITS / byte-serialization contract cannot silently diverge
+    between the two write paths (r5 review)."""
+    (tb,) = key
+    filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
+    return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+
+
+def _marker_max_id(gen_path: str) -> int:
+    """Max doc id recorded in the ``generations`` marker (-1 when absent).
+    Each line is ``token\\tlo\\thi``, written BEFORE the append's postings
+    land — the crash-recovery source of truth for orphan id detection in
+    BOTH update() and compact() (r5 review: one parser, not two)."""
+    m = -1
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            for ln in f:
+                parts = ln.rstrip("\n").split("\t")
+                if len(parts) == 3:
+                    m = max(m, int(parts[2]))
+    return m
+
+
 def _swap_dir(path: str, next_path: str) -> None:
-    """Atomic-enough local-dir swap: retire the old dir, promote the new."""
+    """Atomic-enough local-dir swap: retire the old dir, promote the new.
+    A crash between the two renames leaves ``path`` missing — recovered by
+    ``_heal_swap``, which update()/compact() run before reading."""
     old = path + "_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(next_path, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _heal_swap(path: str) -> None:
+    """Recover a ``_swap_dir`` interrupted between its renames (r5 review):
+    the live dir is missing while ``<path>_next`` still exists — promote it
+    (``_next`` is always FULLY written before any swap starts, so it is the
+    complete new generation). If only ``<path>_old`` remains (a crash inside
+    a previous heal's rmtree), restore it: stale-but-consistent beats
+    missing, and re-running the interrupted compact()/update() converges.
+    Idempotent; leftover ``_old`` debris is cleared either way."""
+    old, nxt = path + "_old", path + "_next"
+    if not os.path.exists(path):
+        if os.path.exists(nxt):
+            os.rename(nxt, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
     shutil.rmtree(old, ignore_errors=True)
 
 

@@ -95,9 +95,11 @@ def test_group_anchored_missing_title_and_repo_dup(spark):
     out = group_anchored(
         results, titles, parse_query("foo").root, group_key=F.substring("path", 1, 1)
     ).collect()
-    # no group reaches 4 members -> everything disbands; no fanout duplicates
+    # no group reaches 4 members -> everything disbands; no fanout
+    # duplicates, and (r5) disbanded keys are repo-qualified — the bare
+    # path would emit two indistinguishable "a/0" rows
     assert sorted((r["key"], r["score_r"]) for r in out) == [
-        ("a/0", 1.0), ("a/0", 2.0), ("b/0", 3.0)
+        ("r1/a/0", 1.0), ("r1/b/0", 3.0), ("r2/a/0", 2.0)
     ]
 
 
@@ -116,3 +118,88 @@ def test_title_match_ast_shapes(spark):
             compile_title_match(parse_query(q).root, F.col("ttoks")).alias("m")
         ).collect()[0]["m"]
         assert got == want, q
+
+
+def test_group_walk_is_repo_scoped(spark):
+    """Two repos share the directory name src/: repoA holds the anchor and
+    enough members to keep its group; repoB's same-named directory must
+    neither attach to repoA's group nor inflate its member count (r5
+    review — the walk runs over the namespaced repo/path, making the repo
+    the root segment of every group key)."""
+    rows = [
+        ("A", f"src/{n}", s)
+        for n, s in [("idx", 9.0), ("m1", 1.0), ("m2", 2.0), ("m3", 3.0), ("m4", 4.0)]
+    ] + [("B", "src/other1", 5.0), ("B", "src/other2", 6.0)]
+    results = spark.createDataFrame(rows, "repo string, path string, score double")
+    titles = spark.createDataFrame(
+        [("A", "src/idx", ["foo"])]
+        + [(r, p, ["x"]) for r, p, _ in rows if (r, p) != ("A", "src/idx")],
+        "repo string, path string, ttoks array<string>",
+    )
+    out = group_walk(results, titles, parse_query("foo").root).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key["A/src"]["members"] == 5  # anchor + 4 members, repoA ONLY
+    assert by_key["B/src/other1"]["members"] == 1
+    assert by_key["B/src/other2"]["members"] == 1
+    assert len(out) == 3
+
+
+def test_group_anchored_null_group_key_rows_survive(spark):
+    """A nullable group_key expression must not silently drop rows: the
+    null-key rows coalesce to their own singleton key and are emitted as
+    disbanded individuals (r5 review — an equi-join on a null grp never
+    matches)."""
+    results = spark.createDataFrame(
+        [("a/1", 1.0), ("a/2", 2.0), ("b/1", 3.0)], "path string, score double"
+    )
+    titles = _toks(spark, [("a/1", ["foo"]), ("a/2", ["x"]), ("b/1", ["x"])])
+    gk = F.when(F.col("path").startswith("a/"), F.substring("path", 1, 1))
+    out = group_anchored(
+        results, titles, parse_query("foo").root, group_key=gk
+    ).collect()
+    keys = {r["key"] for r in out}
+    assert "b/1" in keys  # null-key row emitted, not dropped
+    assert {"a/1", "a/2"} <= keys  # anchored but small -> disbanded
+    assert len(out) == 3
+
+
+def test_group_anchored_disbanded_keys_repo_qualified(spark):
+    """When the title join is (repo, path)-keyed, disbanded singleton keys
+    carry the repo prefix — the bare path is ambiguous across repos (r5
+    review)."""
+    results = spark.createDataFrame(
+        [("A", "p/1", 1.0), ("B", "p/1", 2.0)],
+        "repo string, path string, score double",
+    )
+    titles = spark.createDataFrame(
+        [("A", "p/1", ["x"]), ("B", "p/1", ["x"])],
+        "repo string, path string, ttoks array<string>",
+    )
+    out = group_anchored(
+        results,
+        titles,
+        parse_query("foo").root,
+        group_key=F.concat_ws("/", F.col("repo"), F.substring("path", 1, 1)),
+    ).collect()
+    assert sorted(r["key"] for r in out) == ["A/p/1", "B/p/1"]
+
+
+def test_group_walk_releases_cache(spark):
+    """Grouping caches register in the caller's tracker (or the module
+    registry) so a long-lived serving session can release them (r5 review:
+    persist without an unpersist path leaks executor storage)."""
+    from admarus_spark.search import grouping
+
+    results = spark.createDataFrame([("a/b", 1.0)], "path string, score double")
+    titles = _toks(spark, [("a/b", ["foo"])])
+    tracker: list = []
+    group_walk(results, titles, parse_query("foo").root, tracker=tracker).collect()
+    assert len(tracker) == 3  # per, att, ratt
+    for df in tracker:
+        df.unpersist()
+
+    grouping.release_cache()  # idempotent on an empty registry
+    group_walk(results, titles, parse_query("foo").root).collect()
+    assert len(grouping._LIVE_CACHE) == 3
+    grouping.release_cache()
+    assert grouping._LIVE_CACHE == []

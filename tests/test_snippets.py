@@ -53,3 +53,23 @@ def test_weighted_terms():
     wt = dict(q.weighted_terms())
     assert wt["aaa"] == 0.5
     assert wt["bbb"] == 0.25 and wt["ccc"] == 0.25
+
+
+def test_with_snippets_missing_doc_emits_null_extract(spark):
+    """A top-k winner whose (repo, path) is absent from the docs table — a
+    stale or subset source — must be emitted with extract=null, not
+    silently dropped from the top-k (r5 review)."""
+    from admarus_spark.search.snippets import with_snippets
+
+    results = spark.createDataFrame(
+        [(1, 2.0, "r", "a.py"), (2, 1.0, "r", "gone.py")],
+        "doc_id long, score double, repo string, path string",
+    )
+    frag = "the needle fragment " + "x" * 40
+    docs = spark.createDataFrame(
+        [("r", "a.py", frag)], "repo string, path string, content string"
+    )
+    rows = with_snippets(results, docs, ["needle"]).collect()
+    assert [r["path"] for r in rows] == ["a.py", "gone.py"]  # score desc
+    assert rows[0]["extract"] == frag
+    assert rows[1]["extract"] is None
