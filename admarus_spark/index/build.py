@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -491,7 +492,9 @@ class IndexBuilder:
     hot_df_threshold: int | None = None  # df above which a term is salted; None -> auto
     block_size: int = BLOCK_SIZE
     validate_sha: bool = True
-    keep_tf: bool = True         # keep the stage-1 tf table (resume + debug)
+    keep_tf: bool = True         # False: delete the (postings-sized) stage-1
+                                 # tf table after a successful build — a later
+                                 # resume that needs stage 2 re-tokenizes
     # stage-1 manifest broadcast gate: rows above this take the sort-merge
     # path (one manifest row PER DOCUMENT — never unconditionally broadcast)
     broadcast_manifest_max: int = 2_000_000
@@ -515,12 +518,30 @@ class IndexBuilder:
         lineage2 = {"key": {**key, "stage": 2}}
         lineage3 = {"key": {**key, "stage": 3}}
 
-        if not (resume and ckpt.stage_is_valid(self.index_dir, "stage1_tokenize", lineage1)):
+        # stage 1's artifact (the tf table) may have been cleaned by a prior
+        # keep_tf=False build — its checkpoint alone is not enough for a
+        # resume whose STAGE 2 must re-run (r5 review: keep_tf was dead
+        # config; now that it deletes, the existence check keeps resume
+        # sound)
+        if not (
+            resume
+            and ckpt.stage_is_valid(self.index_dir, "stage1_tokenize", lineage1)
+            and (
+                os.path.exists(paths.tf)
+                or ckpt.stage_is_valid(self.index_dir, "stage2_postings", lineage2)
+            )
+        ):
             self._stage1(docs, paths, lineage1)
         if not (resume and ckpt.stage_is_valid(self.index_dir, "stage2_postings", lineage2)):
             self._stage2(paths, lineage2)
         if not (resume and ckpt.stage_is_valid(self.index_dir, "stage3_summaries", lineage3)):
             self._stage3(paths, lineage3)
+        if not self.keep_tf:
+            # documented contract: drop the postings-sized intermediate once
+            # the index is complete (stage 2+3 checkpoints stay valid; a
+            # future resume needing stage 2 re-tokenizes via the existence
+            # check above)
+            shutil.rmtree(paths.tf, ignore_errors=True)
         self.metrics = {
             s: ckpt.read_metrics(self.index_dir, s)
             for s in ("stage1_tokenize", "stage2_postings", "stage3_summaries")
@@ -1312,6 +1333,21 @@ class IndexBuilder:
             sw_after - sw_before if sw_before is not None and sw_after is not None else None
         )
         t_write = time.time() - t_w0
+        # A zero-term corpus (no >=3-char tokens, or every doc failing sha
+        # validation) makes the partitionBy write emit ONLY _SUCCESS — the
+        # immediate read-back (and every later reader) then dies with
+        # UNABLE_TO_INFER_SCHEMA (r5 review). Rewrite as an explicit empty
+        # TYPED table (a footer-only parquet part carries the schema; `tb`
+        # becomes a regular column, which readers' F.col("tb") filters
+        # handle identically — there is nothing to prune).
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(paths.postings)
+            for f in files
+        ):
+            spark.createDataFrame([], POSTINGS_SCHEMA + ", tb int").write.mode(
+                "overwrite"
+            ).parquet(paths.postings)
 
         if dict_info is not None:
             dict_info["dict_df"].unpersist()

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import make_tokenize_udf
+from ..tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
 
 NUM_PERM = 12
 BAND_ROWS = 3          # 12 perms / 3 rows = 4 bands
@@ -45,9 +45,9 @@ def _hash_col(col, method: str = "md5"):
     raise ValueError(f"unknown hash method {method!r}")
 
 
-_TOK_EXPR_DUCK = (
-    "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)"
-)
+# ONE definition of the tokenizer rule (tokenizer.py owns it; r5 review:
+# a local copy could silently desynchronize the oracles from the engine)
+_TOK_EXPR_DUCK = DUCKDB_TOKENS_EXPR.format(col="text")
 # DuckDB 1-based lists; Spark 0-based arrays — same shingle stream.
 _SHINGLES_DUCK = f"""
 SELECT doc_id,

@@ -71,10 +71,15 @@ def windows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — per (event_type, user_id) conditional partials first, so
     the distinct-user counts need NO Expand-based count(DISTINCT) pass —
     everything is map-side-combinable groupBys."""
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     e = _events(spark, sf_dir)
     now = e.agg(F.max("ts")).collect()[0][0]
+    if now is None:
+        # empty events table: anchor at the epoch — both windows are empty
+        # and the aggregation returns zero rows with the normal schema
+        # instead of `None - timedelta` raising (r5 review)
+        now = datetime(1970, 1, 1)
     c1 = F.lit(now - timedelta(days=1)).cast("timestamp_ntz")
     c2 = F.lit(now - timedelta(days=2)).cast("timestamp_ntz")
     cur = F.col("ts") > c1

@@ -549,9 +549,13 @@ def _adc_rerank(e: DataFrame, q: DataFrame, codes: DataFrame) -> DataFrame:
             F.col("c").cast("int").alias(f"c{m}"), F.col("dq").alias(f"dq{m}")
         )
         wide = wide.join(F.broadcast(dm), f"c{m}")
-    adist = F.round(
-        F.col("dq0") + F.col("dq1") + F.col("dq2") + F.col("dq3"), 9
-    ).alias("adist_r")
+    # pinned LEFT-fold order dq0 + dq1 + ... so both engines add identical
+    # rounded doubles identically; built from PQ_M, not hardcoded — a PQ_M
+    # change must not silently sum a subset (r5 review)
+    asum = F.col("dq0")
+    for m in range(1, PQ_M):
+        asum = asum + F.col(f"dq{m}")
+    adist = F.round(asum, 9).alias("adist_r")
     short = (
         wide.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", adist)
@@ -593,20 +597,14 @@ dtab AS (
 ),
 wide AS (
   SELECT codes.vec_id,
-         max(CASE WHEN m = 0 THEN code END) AS c0,
-         max(CASE WHEN m = 1 THEN code END) AS c1,
-         max(CASE WHEN m = 2 THEN code END) AS c2,
-         max(CASE WHEN m = 3 THEN code END) AS c3
+         {wide_cols}
   FROM codes{gate} GROUP BY codes.vec_id
 ),
 short AS (
   SELECT w.vec_id,
-         round(d0.dq + d1.dq + d2.dq + d3.dq, 9) AS adist_r
+         round({adc_sum}, 9) AS adist_r
   FROM wide w
-  JOIN dtab d0 ON d0.m = 0 AND d0.c = w.c0
-  JOIN dtab d1 ON d1.m = 1 AND d1.c = w.c1
-  JOIN dtab d2 ON d2.m = 2 AND d2.c = w.c2
-  JOIN dtab d3 ON d3.m = 3 AND d3.c = w.c3
+  {dtab_joins}
   WHERE w.vec_id != {qid}
   ORDER BY adist_r ASC, w.vec_id ASC
   LIMIT {shortlist}
@@ -622,6 +620,17 @@ ORDER BY sim_r DESC, e.vec_id ASC LIMIT {top_k}
         top_k=TOP_K,
         extra=extra_ctes,
         gate=codes_gate,
+        # generated from PQ_M (r5 review: hardcoded 0..3 columns/joins/sum
+        # would silently ignore subspaces if PQ_M changed); the sum's
+        # left-fold order matches _adc_rerank's dq0 + dq1 + ...
+        wide_cols=",\n         ".join(
+            f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(PQ_M)
+        ),
+        adc_sum=" + ".join(f"d{m}.dq" for m in range(PQ_M)),
+        dtab_joins="\n  ".join(
+            f"JOIN dtab d{m} ON d{m}.m = {m} AND d{m}.c = w.c{m}"
+            for m in range(PQ_M)
+        ),
         sq_code=_pq_sq_duck("e.v", "cents.cv"),
         sq_q=_pq_sq_duck("cents.cv", "q.qv"),
         cos=_cos_duck("e.v", "q.qv"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import make_tokenize_udf
+from ..tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
 
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
@@ -24,9 +24,8 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "zh": ("zhe", "shi", "bu", "wo", "ni", "hao"),
 }
 
-_TOK_EXPR_DUCK = (
-    "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)"
-)
+# ONE definition of the tokenizer rule (tokenizer.py owns it; r5 review)
+_TOK_EXPR_DUCK = DUCKDB_TOKENS_EXPR.format(col="text")
 
 
 def _tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +242,13 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, n_distinct, n_ws): engine tokens, distinct terms,
     raw whitespace-split tokens."""
     d = _tok_df(spark, sf_dir)
-    ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))).cast("long")
+    # explicit whitespace class, NOT \s: Java regex \s includes \x0B
+    # (vertical tab) while DuckDB's RE2 \s does not — a document containing
+    # one would value-diverge from the oracle (r5 review). The same class
+    # spelled out on both sides is dialect-proof.
+    ws = F.size(
+        F.filter(F.split("text", "[ \\t\\n\\f\\r]+"), lambda x: x != F.lit(""))
+    ).cast("long")
     return d.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
@@ -256,7 +261,7 @@ TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
        len({_TOK_EXPR_DUCK})::BIGINT AS n_tokens,
        len(list_distinct({_TOK_EXPR_DUCK}))::BIGINT AS n_distinct,
-       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))::BIGINT AS n_ws
+       len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'), x -> x != ''))::BIGINT AS n_ws
 FROM documents
 """
 
@@ -264,26 +269,26 @@ FROM documents
 # ----------------------------------------------------------------------
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fingerprint): winnowing-style min-hash over token-3-gram
-    shingles (rolling window of the token stream; md5 as the portable hash)."""
-    d = _tok_df(spark, sf_dir)
-    sh = F.when(
-        F.size("t") >= 3,
-        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = d.select("doc_id", F.explode(sh).alias("shingle"))
+    shingles (rolling window of the token stream; md5 as the portable hash).
+    The shingle stream is dedup's — ONE definition of the parity-critical
+    expression on each engine (r5 review: four drifting copies before)."""
+    from .dedup import _shingles
+
+    ex = _shingles(spark, sf_dir)
     return ex.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
 
-FINGERPRINT_SQL = f"""
+def _fingerprint_sql() -> str:
+    from .dedup import _SHINGLES_DUCK
+
+    return f"""
 SELECT doc_id, min(md5(shingle)) AS fingerprint
-FROM (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM (SELECT doc_id, {_TOK_EXPR_DUCK} AS t FROM documents)
-  WHERE len(t) >= 3
-)
+FROM ({_SHINGLES_DUCK})
 GROUP BY doc_id
 """
+
+
+FINGERPRINT_SQL = _fingerprint_sql()
 
 
 # Embedded common-English word list (stand-in for the reference's build-time

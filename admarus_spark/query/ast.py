@@ -176,9 +176,12 @@ def _weighted_terms(c: QueryComp, weight: float) -> list[tuple[str, float]]:
         for ch in c.among:
             out.extend(_weighted_terms(ch, weight / len(c.among)))
         return out
-    # reference panics on Filter/Not here (query.rs:96-97); they are stripped
-    # by clone_only_words before this is called — Not is kept by the strip,
-    # reference would panic; we descend for robustness.
+    # reference panics on Filter/Not here (query.rs:94-95). clone_only_words
+    # strips Filter but KEEPS Not(words), so a query like "a AND NOT b"
+    # would panic in the reference; we return [] for the Not subtree instead
+    # (its terms never contribute weight — do NOT descend: negated terms
+    # must not gain positive weights) and still raise on Filter, which a
+    # correct strip can never deliver here.
     if isinstance(c, Not):
         return []
     raise TypeError(type(c))

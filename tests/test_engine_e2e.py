@@ -383,3 +383,57 @@ def test_bmw_cross_term_pruning(docs_engine, docs_oracle):
     assert stats is not None
     assert 0 < stats["blocks_kept"] <= stats["blocks_total"]
     assert stats["theta"] > float("-inf")
+
+
+def test_zero_term_corpus_builds_empty_index(spark, tmp_path):
+    """A corpus whose documents tokenize to ZERO >=3-char tokens must build
+    a valid, empty-searchable index — the partitionBy postings write emits
+    only _SUCCESS for it, which used to kill the read-back (and every later
+    reader) with UNABLE_TO_INFER_SCHEMA (r5 review)."""
+    import pandas as pd
+
+    from admarus_spark.corpus import sha256_hex
+
+    rows = []
+    for i in range(6):
+        content = "a b c d aa bb cc"  # every token < 3 chars
+        rows.append(("r", f"p{i}.txt", "c" * 40, "en", content, sha256_hex(content)))
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content", "content_sha256"]
+    )
+    d = str(tmp_path / "idx_zeroterm")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(pdf), input_token="zt"
+    )
+    post = spark.read.parquet(f"{d}/postings")  # readable, typed, empty
+    assert post.count() == 0
+    eng = SearchEngine(spark, d)
+    assert eng.search("anything", 10).count() == 0
+    assert eng.search("aa bb", 10).count() == 0
+
+
+def test_keep_tf_false_cleans_and_resumes(spark, movies_pdf, tmp_path):
+    """keep_tf=False drops the stage-1 tf table after a successful build
+    (it is postings-sized — r5 review: the flag was dead config); a resume
+    with valid stage-2/3 checkpoints must still no-op, and search parity
+    holds."""
+    import os
+
+    from admarus_spark.oracle import OracleIndex
+
+    d = str(tmp_path / "idx_nokeep")
+    b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2, keep_tf=False)
+    sdf = spark.createDataFrame(movies_pdf)
+    b.build(sdf, input_token="nk")
+    assert not os.path.exists(f"{d}/tf")
+
+    oi = OracleIndex(movies_pdf)
+    eng = SearchEngine(spark, d)
+    for q in ["hunger", "hunger AND games", "2(hunger, games, fire)"]:
+        got = [(r["doc_id"], r["score"]) for r in eng.search(q, 10).collect()]
+        assert got == oi.search(q, 10), q
+
+    # resume with everything checkpointed: no stage re-runs, no tf needed
+    b2 = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2, keep_tf=False)
+    b2.build(sdf, input_token="nk")
+    assert b2.metrics["stage2_postings"] == b.metrics["stage2_postings"]

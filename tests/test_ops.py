@@ -234,3 +234,71 @@ def test_media_video_features_matches_decode_video(spark):
 
         want = float(sampled.mean(dtype=np.float64))
         assert abs(r["mean_luma_r"] - want) < 1e-8, d["doc_id"]
+
+
+def test_token_counts_whitespace_dialect_parity(spark, tmp_path):
+    """n_ws must agree between Spark and DuckDB even on \\x0B (vertical tab):
+    Java regex \\s matches it, RE2's does not — both sides now spell the
+    whitespace class explicitly (r5 review)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from admarus_spark.ops import textstats as ts
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha\x0bbeta gamma", "plain words here"],
+            "lang": ["en", "en"],
+        }
+    )
+    d = str(tmp_path / "sfvt")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["n_ws"])
+        for r in ts.token_counts(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(ts.TOKEN_COUNTS_SQL).fetchall()
+    }
+    assert got == want
+    # \x0B does NOT split: 'alpha\x0bbeta' is one ws-chunk on both engines
+    assert got[1][2] == 2
+
+
+def test_windows_delta_empty_events(spark, tmp_path):
+    """An empty events table must return an empty result with the normal
+    schema, not crash on `None - timedelta` (r5 review)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from admarus_spark.ops import events as ev
+
+    d = str(tmp_path / "sfempty")
+    os.makedirs(d)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist([], schema=schema), f"{d}/events.parquet")
+    out = ev.windows_delta(spark, d)
+    assert out.count() == 0
+    assert "delta_n" in out.columns
