@@ -13,13 +13,26 @@ import sys
 
 def main(paths: list[str]) -> None:
     runs: dict[int, list[dict]] = {}
+    skipped = []
     for p in paths:
         try:
             with open(p) as f:
-                r = json.loads(f.read().strip())
-            runs.setdefault(int(r["cpus"]), []).append(r)
+                # one JSON object per file (sb_*.json) OR one per line
+                # (scale_bench's per-sample JSONL)
+                recs = [json.loads(l) for l in f if l.strip()]
+            for r in recs:
+                runs.setdefault(int(r["cpus"]), []).append(r)
+            if not recs:
+                skipped.append(p)
         except (OSError, ValueError, KeyError):
-            continue
+            skipped.append(p)
+    if skipped:
+        print(f"warning: skipped unreadable/unparseable inputs: {skipped}", file=sys.stderr)
+    if not runs:
+        raise SystemExit(
+            "no usable worker samples — pass the JSON files written by "
+            "`python scale_bench.py --worker N` (e.g. /tmp/sb_*.json)"
+        )
     levels = sorted(runs)
     best = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
     qbest = {

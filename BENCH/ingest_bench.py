@@ -36,7 +36,9 @@ LEVELS = [int(c) for c in os.environ.get("INGEST_LEVELS", "1,4").split(",")]
 N_DELTA = int(os.environ.get("SPARK_GRAFT_INGEST_DOCS", "8000"))
 VOCAB = int(os.environ.get("SPARK_GRAFT_SCALE_VOCAB", "200000"))
 OUT_JSON = os.environ.get("INGEST_OUT", os.path.join(REPO, "BENCH", "INGEST.json"))
-OUT_JSONL = os.environ.get("INGEST_JSONL", f"/tmp/ingest_n{N_DELTA}.jsonl")
+# keyed by delta size AND vocab: resuming must not mix samples taken
+# against differently-shaped corpora into the per-level MIN aggregates
+OUT_JSONL = os.environ.get("INGEST_JSONL", f"/tmp/ingest_n{N_DELTA}_v{VOCAB}.jsonl")
 
 
 def worker(cpus: int) -> None:
@@ -117,10 +119,17 @@ def main() -> None:
             samples = [json.loads(l) for l in f if l.strip()]
         print(f"resuming with {len(samples)} prior samples", flush=True)
     total = ROUNDS * len(LEVELS)
+    # resume by per-level sample count (not list position): prior runs with
+    # different LEVELS/ROUNDS must only satisfy cells they actually measured
+    prior: dict = {}
+    for s in samples:
+        prior[s["cpus"]] = prior.get(s["cpus"], 0) + 1
+    consumed: dict = {}
     with open(OUT_JSONL, "a") as sink:
         for r in range(ROUNDS):
             for cpus in LEVELS:
-                if len(samples) >= (r * len(LEVELS) + LEVELS.index(cpus) + 1):
+                if consumed.get(cpus, 0) < prior.get(cpus, 0):
+                    consumed[cpus] = consumed.get(cpus, 0) + 1
                     continue
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],

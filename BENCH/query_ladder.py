@@ -34,10 +34,18 @@ if os.path.exists(OUT_JSONL):
     print(f"resuming with {len(samples)} prior samples", flush=True)
 
 total = ROUNDS * len(CELLS)
+# resume by per-cell sample count, not list position: a prior run with a
+# different QL_CELLS/QL_ROUNDS must not satisfy cells it never measured
+_prior: dict = {}
+for s in samples:
+    k = (s["cpus"], s["wand"])
+    _prior[k] = _prior.get(k, 0) + 1
+_consumed: dict = {}
 with open(OUT_JSONL, "a") as sink:
     for r in range(ROUNDS):
         for cpus, wand in CELLS:
-            if len(samples) >= (r * len(CELLS) + CELLS.index((cpus, wand)) + 1):
+            if _consumed.get((cpus, wand), 0) < _prior.get((cpus, wand), 0):
+                _consumed[(cpus, wand)] = _consumed.get((cpus, wand), 0) + 1
                 continue
             env = dict(os.environ, SPARK_GRAFT_QW_WAND=wand,
                        SPARK_GRAFT_QW_NQUERIES=str(NQ))
@@ -57,8 +65,10 @@ with open(OUT_JSONL, "a") as sink:
                   f"{rec['query_sec']:.2f}s {rec['driver']}", flush=True)
 
 mins, driver_at_min = {}, {}
-for cpus in (1, 4):
-    for wand in ("auto", "off"):
+_levels = sorted({c for c, _ in CELLS})
+_wands = sorted({w for _, w in CELLS})
+for cpus in _levels:
+    for wand in _wands:
         cell = [s for s in samples if s["cpus"] == cpus and s["wand"] == wand]
         if not cell:
             continue
@@ -68,10 +78,14 @@ for cpus in (1, 4):
         driver_at_min[key] = best["driver"]
 
 eff = {}
-for wand in ("auto", "off"):
-    lo, hi = mins.get(f"local1_{wand}"), mins.get(f"local4_{wand}")
-    if lo and hi:
-        eff[f"query_1_to_4_{wand}"] = round((lo / hi) / 4, 3)
+for lo_c in _levels:
+    for hi_c in _levels:
+        if hi_c != 4 * lo_c:
+            continue
+        for wand in _wands:
+            lo, hi = mins.get(f"local{lo_c}_{wand}"), mins.get(f"local{hi_c}_{wand}")
+            if lo is not None and hi is not None and hi > 0:
+                eff[f"query_{lo_c}_to_{hi_c}_{wand}"] = round((lo / hi) / 4, 3)
 
 report = {
     "n_queries": NQ,

@@ -21,12 +21,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from admarus_spark import ops
+from admarus_spark import BM25_B, BM25_K1, ops
 from admarus_spark.index.build import IndexBuilder
 from admarus_spark.search.engine import SearchEngine
-from admarus_spark.tokenizer import make_tokenize_udf
+from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
 
-K1, B = 1.2, 0.75
+K1, B = BM25_K1, BM25_B
 DEFAULT_K = 10
 
 # ----------------------------------------------------------------------
@@ -275,10 +275,9 @@ def _bm25_batch(k: int = DEFAULT_K, shards: int | None = None):
 # DuckDB oracle SQL builders (fulltext core)
 # ----------------------------------------------------------------------
 
-_TOK_CTES = """
+_TOK_CTES = f"""
 tok AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
-                                    t -> length(t) >= 3)) AS term
+  SELECT doc_id, unnest({DUCKDB_TOKENS_EXPR.format(col="text")}) AS term
   FROM documents
 ),
 tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -743,9 +742,7 @@ _FULLTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_grouped_walk": _bm25_grouped_walk("batch"),
 }
 
-_TOK_EXPR = (
-    "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), t -> length(t) >= 3)"
-)
+_TOK_EXPR = DUCKDB_TOKENS_EXPR.format(col="text")
 
 _FULLTEXT_ORACLES: dict[str, str] = {
     "tokenize_tf": f"""

@@ -7,6 +7,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_shuffle_partitions(master: str | None) -> int | None:
+    """Core count implied by a plain-local master string, else None.
+
+    Handles ``local``, ``local[N]``, ``local[N,maxFailures]``, ``local[*]``.
+    ``local-cluster[...]`` and anything unparseable return None — those
+    sessions keep Spark's default + AQE coalescing rather than crashing
+    session construction on a valid master string."""
+    if master is None or not master.startswith("local") or master.startswith("local-cluster"):
+        return None
+    n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+    n = n.split(",", 1)[0].strip()
+    if n == "*":
+        return os.cpu_count() or 32
+    return int(n) if n.isdigit() else None
+
+
 def get_spark(
     app_name: str = "admarus_spark",
     master: str | None = None,
@@ -45,9 +61,8 @@ def get_spark(
     # on YARN is ~2), so non-local sessions keep Spark's default + AQE
     # coalescing unless the caller/submit conf pins one. A launcher-owned
     # LOCAL master is sized after the session exists (runtime-settable).
-    if shuffle_partitions is None and master is not None and master.startswith("local"):
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = os.cpu_count() or 32 if n == "*" else int(n)
+    if shuffle_partitions is None:
+        shuffle_partitions = _local_shuffle_partitions(master)
     b = SparkSession.builder.appName(app_name)
     if master is not None:
         b = b.master(master)

@@ -123,7 +123,7 @@ def main() -> None:
         "sf": sf_val,
         "n_docs": n_docs,
         "index_build_docs_per_sec": round(n_docs / mins["index_build"], 1),
-        "cpus": int(CPUS),
+        "cpus": (os.cpu_count() or 0) if CPUS == "*" else int(CPUS),
     }
 
     # Output hygiene (round-1 postmortem: BENCH_r01.json parsed null because

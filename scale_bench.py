@@ -210,32 +210,55 @@ def query_worker(cpus: int) -> None:
     )
 
 
+SAMPLES_JSONL = os.environ.get(
+    "SPARK_GRAFT_SCALE_JSONL", f"/tmp/admarus_scale_samples_v{VOCAB}_n{N_DOCS}.jsonl"
+)
+
+
 def run_worker(cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-        capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    if out.returncode != 0:
+        # surface the cause; a crashed worker must not silently discard the
+        # ladder (prior samples are already persisted in SAMPLES_JSONL)
+        sys.stderr.write(out.stderr[-4000:] + "\n")
+        raise SystemExit(f"worker local[{cpus}] failed (exit {out.returncode})")
+    sample = json.loads(out.stdout.strip().splitlines()[-1])
+    with open(SAMPLES_JSONL, "a") as f:
+        f.write(json.dumps(sample) + "\n")
+    return sample
 
 
 def main() -> None:
     """Interleave measurements across parallelism levels and take the
     per-level MIN: environmental noise on this shared VM is strictly
     one-sided (host contention only adds time), so min-of-N estimates the
-    job's true cost. Levels cover both N->4N pairs: 2->8 (compute-bound
-    regime) and 8->32 (where one box's shared memory/disk bandwidth
-    saturates — a real 4N-executor cluster multiplies those too)."""
+    job's true cost. Default levels are the claim pair 1->4; supplementary
+    pairs 2->8 (compute-bound regime) and 8->32 (where one box's shared
+    memory/disk bandwidth saturates — a real 4N-executor cluster
+    multiplies those too) via SPARK_GRAFT_SCALE_LEVELS."""
     ensure_corpus()
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")]
+    # default = the committed claim pair (local[1] -> local[4], see root
+    # BASELINE.md); also what BENCH/query_ladder.py and ingest_bench.py
+    # expect to find at /tmp/admarus_scale_idx_{1,4}. Supplementary pairs
+    # (2->8, 8->32) via SPARK_GRAFT_SCALE_LEVELS.
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")]
     runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(rounds):
         for c in levels:
             runs[c].append(run_worker(c))
     best = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
-    qbest = {c: min(r["query_sec"] for r in rs) for c, rs in runs.items()}
+    # SPARK_GRAFT_SCALE_SKIP_QUERY ladders emit query_sec=None — build-only
+    # report in that case rather than a TypeError that loses the whole run.
+    qbest = {
+        c: min(qs) if (qs := [r["query_sec"] for r in rs if r["query_sec"] is not None]) else None
+        for c, rs in runs.items()
+    }
     thr = {c: best[c]["n_docs"] / best[c]["build_sec"] for c in levels}
-    qps = {c: len(QUERY_BATCH) / qbest[c] for c in levels}
+    qps = {c: len(QUERY_BATCH) / qbest[c] for c in levels if qbest[c]}
 
     def eff(metric, lo, hi):
         return round((metric[hi] / metric[lo]) / (hi / lo), 3) if lo in metric and hi in metric else None
@@ -254,8 +277,10 @@ def main() -> None:
         "s2_shuffle_write_bytes": {
             f"local{c}": best[c].get("s2_shuffle_write_bytes") for c in levels
         },
-        "query_batch_sec": {f"local{c}": round(qbest[c], 2) for c in levels},
-        "query_qps": {f"local{c}": round(qps[c], 2) for c in levels},
+        "query_batch_sec": {
+            f"local{c}": round(qbest[c], 2) for c in levels if qbest[c] is not None
+        },
+        "query_qps": {f"local{c}": round(qps[c], 2) for c in levels if c in qps},
         "scaling_efficiency": {
             **{f"build_{lo}_to_{hi}": eff(thr, lo, hi) for lo, hi in pairs},
             **{f"query_{lo}_to_{hi}": eff(qps, lo, hi) for lo, hi in pairs},
