@@ -148,6 +148,12 @@ class _Parser:
         self.ws()
         if not self.lit(")"):
             return None
+        if n == 0:
+            # n=0 divides by zero in every scoring path (the reference's
+            # match_score_index yields NaN and then filters the doc out,
+            # matching.rs:49-60 — the query can never return results); a
+            # clean parse error beats a Catalyst DIVIDE_BY_ZERO at run time.
+            raise ParseError("n-of-m requires n >= 1, got 0(...)")
         return NAmong(n=n, among=children, rule="namong")
 
     def _paren(self) -> QueryComp | None:

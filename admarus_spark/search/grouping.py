@@ -77,6 +77,7 @@ def group_anchored(
     query_root: QueryComp,
     group_key: Column,
     limit: int | None = None,
+    tracker: list | None = None,
 ) -> DataFrame:
     """Group scored results by ``group_key``; keep a group only when it is
     title-anchored (G1) and has > 3 members (G3); disband the rest into
@@ -113,17 +114,25 @@ def group_anchored(
         if "repo" in join_keys
         else F.col("path")
     )
-    per = (
+    # per feeds the groupBy AND the disbanded-members join; g feeds kept AND
+    # disband_keys — persist both or the upstream SEARCH plan (postings
+    # scan, decode, fold) re-executes once per branch (same discipline as
+    # group_walk; registered in ``tracker`` or the module registry).
+    per = _persist(
         results.join(titles, join_keys, "left")
         .withColumn("tm", F.coalesce(tm, F.lit(False)))
         .withColumn("_sk", self_key)
         .withColumn("grp", F.coalesce(group_key, F.col("_sk")))
-        .select("grp", "_sk", "score", "tm")
+        .select("grp", "_sk", "score", "tm"),
+        tracker,
     )
-    g = per.groupBy("grp").agg(
-        F.max("score").alias("best"),
-        F.count("*").alias("members"),
-        F.max(F.col("tm").cast("int")).alias("anch"),
+    g = _persist(
+        per.groupBy("grp").agg(
+            F.max("score").alias("best"),
+            F.count("*").alias("members"),
+            F.max(F.col("tm").cast("int")).alias("anch"),
+        ),
+        tracker,
     )
     keep_pred = (F.col("anch") == 1) & (F.col("members") >= MIN_GROUP_CHILDREN)
     kept = g.filter(keep_pred).select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,6 +68,16 @@ def with_snippets(results: DataFrame, docs: DataFrame, positive_terms: list[str]
 
     joined = docs.select("repo", "path", "content").join(
         F.broadcast(results), ["repo", "path"]
+    )
+    # a source table carrying a (repo, path) twice (base snapshot unioned
+    # with a re-crawled delta) must not fan a winner out into duplicate
+    # result rows: keep one deterministic content per key. Dedup AFTER the
+    # join — it runs over ~k rows, not the whole docs table.
+    w = Window.partitionBy("repo", "path").orderBy(F.desc("content"))
+    joined = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     found = joined.withColumn("extract", snippet_udf(F.col("content"))).drop("content")
     cols = [c for c in results.columns] + ["extract"]

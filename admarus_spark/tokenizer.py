@@ -30,11 +30,9 @@ import pandas as pd
 TOKEN_SPLIT_RE = re.compile(r"[^0-9a-z]+")
 MIN_TOKEN_LEN = 3
 
-# SQL fragment (DuckDB + Spark SQL compatible) producing the token array for
-# a text column; kept here so queries and oracles share one definition.
-SQL_TOKENS_EXPR = (
-    "filter(split(lower({col}), '[^0-9a-z]+'), t -> length(t) >= 3)"  # Spark
-)
+# DuckDB SQL fragment producing the token array for a text column — the ONE
+# definition every oracle formats (CLAUDE.md parity rule; the Spark side
+# tokenizes via make_tokenize_udf, never via a SQL twin that could drift).
 DUCKDB_TOKENS_EXPR = (
     "list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'),"
     " t -> length(t) >= 3)"

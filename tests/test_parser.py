@@ -98,6 +98,15 @@ def test_positive_filters_outside_not():
     assert q.positive_terms() == ["aaa"]
 
 
+@pytest.mark.parametrize("bad_n0", ["0(aaa, bbb)", "aaa AND 0(bbb, ccc)", "00(aaa)"])
+def test_namong_n_zero_rejected(bad_n0):
+    """n=0 divides by zero in every scoring path (and can never return
+    results in the reference either, matching.rs:49-60) — a clean parse
+    error, not a runtime DIVIDE_BY_ZERO in the Catalyst fold."""
+    with pytest.raises(ParseError):
+        parse_query(bad_n0)
+
+
 @pytest.mark.parametrize("bad", ["aaa AND", "(open", "3(aaa", "", "AND"])
 def test_parse_errors(bad):
     if bad == "AND":

@@ -73,3 +73,25 @@ def test_with_snippets_missing_doc_emits_null_extract(spark):
     assert [r["path"] for r in rows] == ["a.py", "gone.py"]  # score desc
     assert rows[0]["extract"] == frag
     assert rows[1]["extract"] is None
+
+
+def test_with_snippets_duplicate_doc_rows_do_not_fan_out(spark):
+    """A source table carrying the same (repo, path) twice — e.g. a base
+    snapshot unioned with a re-crawled delta — must not duplicate a top-k
+    winner in the output; one deterministic content row wins."""
+    from admarus_spark.search.snippets import with_snippets
+
+    results = spark.createDataFrame(
+        [(1, 2.0, "r", "a.py")],
+        "doc_id long, score double, repo string, path string",
+    )
+    frag_a = "the needle fragment aaaa " + "x" * 40
+    frag_b = "the needle fragment bbbb " + "x" * 40
+    docs = spark.createDataFrame(
+        [("r", "a.py", frag_a), ("r", "a.py", frag_b)],
+        "repo string, path string, content string",
+    )
+    rows = with_snippets(results, docs, ["needle"]).collect()
+    assert len(rows) == 1
+    # deterministic winner: lexicographically greatest content
+    assert rows[0]["extract"] == frag_b
