@@ -35,3 +35,35 @@ def test_series_parity():
 def test_unicode_lowercase_then_ascii_split():
     # uppercase non-ASCII lowercases first, stays non-alnum ASCII, splits
     assert tokenize("ÉTÉ abcÉdef") == ["abc", "def"]
+
+
+def test_duckdb_expr_matches_python_tokenize_property():
+    """The DuckDB oracle fragment (DUCKDB_TOKENS_EXPR — the ONE SQL
+    definition every oracle formats) must agree with the Python reference
+    tokenizer on adversarial inputs: unicode case folds, the \x0B vertical
+    tab (inside Java's \\s but not RE2's — the class is spelled out for
+    exactly this reason), digits-only runs, and long separator runs."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR
+
+    con = duckdb.connect()
+    expr = DUCKDB_TOKENS_EXPR.format(col="t")
+
+    alphabet = st.sampled_from(
+        list("abcXYZ019_-./:(),!") + ["\x0b", "\t", "\n", " ", "é", "É", "ß", "中"]
+    )
+    texts = st.lists(alphabet, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def check(text):
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [text]).fetchone()[0]
+        assert got == tokenize(text), repr(text)
+
+    check()
+    for text in CASES:
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [text]).fetchone()[0]
+        assert got == tokenize(text), repr(text)
