@@ -50,7 +50,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, FILTER_BITS
@@ -193,6 +193,16 @@ def meta_bloom_bytes(dd: DataFrame, names: tuple[str, ...] = ("lang", "repo")) -
     return acc.tobytes(), n_words
 
 
+def terms_bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: ONE per-bucket "terms" bloom summary row. The
+    single definition shared by stage 3, update()'s delta blooms and
+    compact()'s rebuild, so the FILTER_BITS / byte-serialization contract
+    cannot silently diverge between write paths (r5 review)."""
+    (tb,) = key
+    filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
+    return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+
+
 def bloom_rollup_rows(spark: SparkSession, terms_summ: DataFrame, meta_bytes: bytes) -> DataFrame:
     """The two O(1)-load summary rows the engine reads at init: the metadata
     bloom (tb=-1, kind='meta') and a GLOBAL term bloom (tb=-2, kind='global')
@@ -245,7 +255,11 @@ def assign_range_ids(docs: DataFrame, n_parts: int, base: int = 0):
     consumed."""
     spark = docs.sparkSession
     manifest = (
+        # distinct: ONE id per (repo, path) even when the input carries a
+        # key twice — the extra slim exchange is over two string columns
+        # and a no-op shuffle-dedup on clean inputs
         docs.select("repo", "path")
+        .distinct()
         .repartitionByRange(n_parts, "repo", "path")
         .sortWithinPartitions("repo", "path")
         .persist()
@@ -559,18 +573,13 @@ class IndexBuilder:
         # hash the full content column one extra time. n_total comes from a
         # column-pruned count (near metadata-speed on parquet); the invalid
         # count falls out as n_total - n_docs.
-        if self.validate_sha and "content_sha256" in docs.columns:
-            n_total = int(docs.count())
-            valid = docs.filter(
-                F.sha2(F.col("content"), 256) == F.col("content_sha256")
-            )
-        else:
+        has_sha = "content_sha256" in docs.columns
+        if not has_sha:
             docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            n_total = int(docs.count())
-            valid = docs
+        n_total = int(docs.count())
 
-        # Deterministic doc ids: rank of (repo, path) lexicographic over ALL
-        # input rows — the manifest scan reads ONLY (repo, path) (content
+        # Deterministic doc ids: rank of DISTINCT (repo, path) lexicographic
+        # over the input — the manifest scan reads ONLY (repo, path) (content
         # never decoded, never shuffled); sha-invalid rows are dropped by the
         # content-bearing scans later, leaving holes in the id space (ids
         # stay stable and collision-free; the dictionary defines liveness).
@@ -581,6 +590,31 @@ class IndexBuilder:
         parallelism = spark.sparkContext.defaultParallelism
         n_parts = max(1, min(parallelism, max(1, n_total // 50)))
         manifest_ids, manifest, part_counts, offsets = assign_range_ids(docs, n_parts)
+
+        # a crawl dump can carry the same (repo, path) twice (two observed
+        # versions): without a guard the manifest join fans out 2x2 —
+        # duplicate postings, double-counted df, multiple doc_dict rows per
+        # id. Detection is FREE (the distinct manifest count falls out of
+        # part_counts); the window dedup — same deterministic max-sha winner
+        # rule as the incremental within-delta dedup — runs ONLY on dirty
+        # inputs, so clean corpora pay nothing.
+        n_unique = sum(part_counts.values())
+        n_dup_rows = n_total - n_unique
+        if n_dup_rows > 0:
+            w_dup = Window.partitionBy("repo", "path").orderBy(
+                F.desc("content_sha256")
+            )
+            docs = (
+                docs.withColumn("_rn", F.row_number().over(w_dup))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if self.validate_sha and has_sha:
+            valid = docs.filter(
+                F.sha2(F.col("content"), 256) == F.col("content_sha256")
+            )
+        else:
+            valid = docs
         # a locally-generated corpus often arrives as few parquet splits — the
         # tokenize stage would under-parallelize; widen to the session's
         # parallelism (no-op on real multi-split inputs)
@@ -633,7 +667,9 @@ class IndexBuilder:
             .collect()[0]
         )
         n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
-        n_invalid = n_total - n_docs
+        # invalid = unique keys that did not survive to the dictionary;
+        # duplicate input rows are accounted separately (rows_dup_path)
+        n_invalid = n_unique - n_docs
         avgdl = float(total_tokens) / float(n_docs) if n_docs else 0.0
         stats_pdf = pd.DataFrame(
             [
@@ -667,6 +703,7 @@ class IndexBuilder:
             lineage,
             {
                 "rows_in": n_total,
+                "rows_dup_path": int(n_dup_rows),
                 "rows_invalid_sha": int(n_invalid),
                 "n_docs": n_docs,
                 "total_tokens": total_tokens,
@@ -1404,13 +1441,9 @@ class IndexBuilder:
         t0 = time.time()
         spark = self.spark
         terms = spark.read.parquet(paths.postings).select("tb", "term")
-
-        def bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (tb,) = key
-            filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
-            return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
-
-        summaries = terms.groupBy("tb").applyInPandas(bloom_of, "tb int, kind string, filter binary")
+        summaries = terms.groupBy("tb").applyInPandas(
+            terms_bloom_of, "tb int, kind string, filter binary"
+        )
         # the groupBy recomputes on each action; the terms rows feed BOTH the
         # global-OR fold and the final write
         summaries = summaries.persist()

@@ -1268,7 +1268,14 @@ class SearchEngine:
             else:
                 # empty cand → all-False masks: no doc can match the member
                 for t in qterms:
-                    _or(t, _select_blocks_intersect(by_term[t], cand))
+                    r = by_term.get(t)
+                    if r is None:
+                        # stale df_cache: the term is cached but its posting
+                        # rows are gone (external compact without refresh());
+                        # it has nothing to decode — contributes empty rather
+                        # than KeyError-ing the whole batch (engine contract)
+                        continue
+                    _or(t, _select_blocks_intersect(r, cand))
         # merge into per-term decode specs; a full-decode need overrides
         spec: dict[str, tuple[np.ndarray | None, int | None]] = {}
         for t in set(masks) | greedy_terms:

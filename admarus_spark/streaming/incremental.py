@@ -57,13 +57,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import BLOCK_SIZE, FILTER_BITS
-from ..hashword import build_filter
+from .. import BLOCK_SIZE
 from ..index.build import (
     POSTINGS_SCHEMA,
     IndexBuilder,
     IndexPaths,
     _tokenize_tf_map,
+    terms_bloom_of as _terms_bloom_of,
 )
 
 
@@ -87,21 +87,42 @@ class IncrementalIndexer:
     # generation at read time (readers concatenate), so the read
     # amplification is exactly the pending-generation count.
     auto_compact_gens: int | None = None
+    # per-row invariant (same as IndexBuilder.validate_sha): when the delta
+    # arrives WITH a content_sha256 column, rows whose hash does not match
+    # the content are excluded (a wrong sha would otherwise poison the
+    # change detector — a stale sha masks new content as "unchanged", a
+    # junk sha corrupts every later delta of that path). Computed-sha
+    # deltas (no column) are trusted by construction.
+    validate_sha: bool = True
 
     def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
         spark = self.spark
         paths = IndexPaths(self.index_dir)
         _heal_swap(paths.postings)
         _heal_swap(paths.doc_dict)
+        _heal_swap(paths.stats)
+        _heal_swap(paths.summaries)
         t0 = time.time()
         stats = spark.read.parquet(paths.stats).collect()[0]
         dd = spark.read.parquet(paths.doc_dict)
         max_id = dd.agg(F.max("doc_id")).collect()[0][0]
         max_id = -1 if max_id is None else int(max_id)
 
+        n_invalid_delta = 0
         if "content_sha256" not in delta.columns:
             delta = delta.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        n_delta = delta.count()
+            n_delta = delta.count()
+        else:
+            n_delta = delta.count()
+            if self.validate_sha:
+                # build-parity sha gate on the incremental path: the stored
+                # sha doubles as the change detector AND the dedup ordering
+                # key, so an unvalidated wrong sha silently mis-routes the
+                # row (see field docstring)
+                delta = delta.filter(
+                    F.sha2(F.col("content"), 256) == F.col("content_sha256")
+                )
+                n_invalid_delta = n_delta - int(delta.count())
         # Within-delta dedup: a crawl batch may carry the same (repo, path)
         # twice (two versions observed in one tick). Without this, both
         # copies pass the live-corpus anti-join, the manifest assigns each
@@ -226,9 +247,13 @@ class IncrementalIndexer:
 
         from ..index.build import MARKER_TERM, TF_SCHEMA, unpack_meta
 
+        # persisted: tokenizing the delta is the dominant per-update cost and
+        # tf_all has TWO consumers with separate materializations (new_posts
+        # via the affected collect, doc_len via the stats sum) — without the
+        # cache each re-runs the full tokenize pass over the delta content
         tf_all = with_ids.select("doc_id", "content").mapInPandas(
             _tokenize_tf_map, TF_SCHEMA
-        )
+        ).persist()
 
         tf = tf_all.filter(F.col("term") != MARKER_TERM)
         bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
@@ -337,6 +362,12 @@ class IncrementalIndexer:
         # the orphan-recovery recompute instead of double-counting them.
         with open(gen_path, "a") as f:
             f.write(f"{input_token}\t{max_id + 1}\t{max_id + int(n_new)}\n")
+            # fsync BEFORE the postings land: the 'marker before postings'
+            # crash ordering must hold across power loss, not just process
+            # death — an unsynced marker line can be lost while the parquet
+            # commit below survives, leaving unrecorded orphan ids
+            f.flush()
+            os.fsync(f.fileno())
         if affected:
             (
                 new_posts.write.mode("append")
@@ -371,6 +402,7 @@ class IncrementalIndexer:
             "doc_id", F.col("meta").cast("int").alias("doc_len")  # marker meta == dl
         ).persist()
         delta_len = int(doc_len.agg(F.sum("doc_len")).collect()[0][0] or 0)
+        tf_all.unpersist()  # both consumers materialized (doc_len has its own pin)
 
         # stats: RUNNING totals — previous live (n_docs, total_tokens) plus
         # the delta's doc lengths minus the replaced generations' lengths
@@ -426,7 +458,7 @@ class IncrementalIndexer:
                 }
             ]
         )
-        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+        _write_swap(spark.createDataFrame(stats_pdf), paths.stats)
 
         # refresh summaries for affected buckets: O(delta) OR-merge — the
         # stored per-bucket bloom already covers every pre-existing term and
@@ -476,12 +508,8 @@ class IncrementalIndexer:
             meta_acc |= np.frombuffer(r["filter"], dtype=np.uint8)
         meta_bytes = meta_acc.tobytes()
         summ = terms_all.unionByName(bloom_rollup_rows(spark, terms_all, meta_bytes))
-        # write-then-swap (summaries dir is tiny)
-        tmp = paths.summaries + "_next"
-        summ.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _write_swap(summ, paths.summaries)
         terms_all.unpersist()
-        final = spark.read.parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
 
         # doc_dict append LAST — the update's COMMIT POINT (r5 review #1).
         # Every earlier artifact (tombstones, marker, postings, stats,
@@ -507,6 +535,7 @@ class IncrementalIndexer:
             manifest_persist.unpersist()
         out = {
             "rows_in": n_delta,
+            "rows_invalid_sha": int(n_invalid_delta),
             "rows_new": int(n_new),
             "rows_changed": int(n_changed),
             "affected_buckets": affected,
@@ -564,6 +593,8 @@ class IncrementalIndexer:
         paths = IndexPaths(self.index_dir)
         _heal_swap(paths.postings)
         _heal_swap(paths.doc_dict)
+        _heal_swap(paths.stats)
+        _heal_swap(paths.summaries)
         t0 = time.time()
         tomb_path = os.path.join(self.index_dir, "tombstones")
         gen_path = os.path.join(self.index_dir, "generations")
@@ -801,7 +832,7 @@ class IncrementalIndexer:
                 }
             ]
         )
-        spark.createDataFrame(stats_pdf).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+        _write_swap(spark.createDataFrame(stats_pdf), paths.stats)
 
         # summaries: rebuild per-bucket blooms (terms may have vanished),
         # meta bloom over the live dictionary, global rollup
@@ -816,7 +847,7 @@ class IncrementalIndexer:
         )
         meta_bytes, _ = meta_bloom_bytes(spark.read.parquet(paths.doc_dict))
         summ = terms_summ.unionByName(bloom_rollup_rows(spark, terms_summ, meta_bytes))
-        summ.coalesce(1).write.mode("overwrite").parquet(paths.summaries)
+        _write_swap(summ, paths.summaries)
         terms_summ.unpersist()
 
         shutil.rmtree(tomb_path, ignore_errors=True)
@@ -852,14 +883,10 @@ class IncrementalIndexer:
         return handle
 
 
-def _terms_bloom_of(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: ONE per-bucket "terms" bloom summary row.
-    Shared by update()'s delta blooms and compact()'s full rebuild so the
-    FILTER_BITS / byte-serialization contract cannot silently diverge
-    between the two write paths (r5 review)."""
-    (tb,) = key
-    filt = build_filter(pdf["term"].tolist(), FILTER_BITS)
-    return pd.DataFrame([{"tb": int(tb), "kind": "terms", "filter": filt.tobytes()}])
+# NOTE: the per-bucket "terms" bloom kernel is index.build.terms_bloom_of
+# (imported above as _terms_bloom_of) — ONE definition for stage 3,
+# update()'s delta blooms and compact()'s rebuild, so the FILTER_BITS /
+# byte-serialization contract cannot silently diverge between write paths.
 
 
 def _marker_max_id(gen_path: str) -> int:
@@ -870,11 +897,35 @@ def _marker_max_id(gen_path: str) -> int:
     m = -1
     if os.path.exists(gen_path):
         with open(gen_path) as f:
-            for ln in f:
-                parts = ln.rstrip("\n").split("\t")
-                if len(parts) == 3:
-                    m = max(m, int(parts[2]))
+            lines = f.readlines()
+        for i, ln in enumerate(lines):
+            parts = ln.rstrip("\n").split("\t")
+            try:
+                m = max(m, int(parts[2]))
+            except (IndexError, ValueError):
+                # a torn FINAL line is a crash mid-append: the postings of
+                # that run never landed (they are written after the fsync'd
+                # marker), so ignoring it is safe. A malformed EARLIER line
+                # is real corruption — fail loudly, never under-count.
+                if i != len(lines) - 1:
+                    raise ValueError(
+                        f"corrupt generations marker at {gen_path} line {i + 1}: {ln!r}"
+                    )
     return m
+
+
+def _write_swap(df, path: str) -> None:
+    """Crash-safe single-file table replace: write the FULL new content to
+    ``<path>_next``, then ``_swap_dir`` it into place. A plain
+    ``mode('overwrite')`` on the live dir deletes the existing files before
+    the job commits — a crash in that window loses the table (for summaries
+    that meant permanently losing un-affected buckets' bloom rows: bloom
+    false negatives, silently empty queries). The plan may read the live
+    ``path`` — it executes fully against the old files before any rename."""
+    nxt = path + "_next"
+    shutil.rmtree(nxt, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(nxt)
+    _swap_dir(path, nxt)
 
 
 def _swap_dir(path: str, next_path: str) -> None:

@@ -230,6 +230,49 @@ def test_sha_validation_excludes_rows(spark, movies_pdf, tmp_path):
     assert m["n_docs"] == len(movies_pdf) - 1
 
 
+def test_duplicate_input_paths_deduped_to_max_sha_winner(
+    spark, movies_pdf, tmp_path
+):
+    """A crawl dump carrying the same (repo, path) twice must not fan out
+    the manifest join (duplicate postings, double-counted df, multiple
+    doc_dict rows): the build keeps ONE deterministic winner per key — the
+    max-content_sha256 row, same rule as the incremental within-delta
+    dedup — and the engine matches an oracle over the deduped corpus."""
+    import hashlib
+
+    from admarus_spark.oracle import OracleIndex
+
+    dirty = movies_pdf.copy()
+    dup = dirty.iloc[[5]].copy()
+    dup["content"] = dup["content"] + " duplicated variant row"
+    dup["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in dup["content"]
+    ]
+    dirty = __import__("pandas").concat([dirty, dup], ignore_index=True)
+
+    # expected corpus: per (repo, path) the max-sha row
+    clean = (
+        dirty.sort_values(["repo", "path", "content_sha256"])
+        .groupby(["repo", "path"], as_index=False)
+        .last()
+    )
+    oracle = OracleIndex(clean)
+
+    d = str(tmp_path / "idx_dup")
+    b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
+    b.build(spark.createDataFrame(dirty), input_token="dup")
+    m = b.metrics["stage1_tokenize"]
+    assert m["rows_dup_path"] == 1
+    assert m["n_docs"] == len(clean)
+
+    dd = spark.read.parquet(d + "/doc_dict").toPandas()
+    assert len(dd) == len(clean)
+    assert dd.groupby(["repo", "path"]).size().max() == 1
+
+    eng = SearchEngine(spark, d)
+    run_parity(eng, oracle, ["hunger", "hunger AND games", "perfectly matching"])
+
+
 def test_result_schema(movies_engine):
     df = movies_engine.search("hunger", 3)
     assert [f.name for f in df.schema.fields] == [

@@ -979,6 +979,45 @@ def test_heal_swap_recovers_interrupted_compaction(spark, tmp_path):
         assert got == want, q
 
 
+def test_heal_swap_recovers_summaries_and_stats(spark, tmp_path):
+    """summaries and stats are now written via the same write-then-swap as
+    postings/doc_dict (a plain overwrite deletes the live files before the
+    job commits — a crash there permanently lost un-affected buckets' bloom
+    rows). Simulate the crash window on both dirs; the next update() must
+    heal them and stay rank-exact, and a sha-invalid delta row must be
+    excluded (build-parity validation on the incremental path)."""
+    import os
+
+    base = make_docs_corpus(80, seed=83)
+    d = str(tmp_path / "idx_heal_ss")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="heal-ss-base"
+    )
+    summ, stats = f"{d}/summaries", f"{d}/stats"
+    os.rename(summ, summ + "_next")
+    os.rename(stats, stats + "_next")
+
+    g2 = make_docs_corpus(30, seed=84)
+    g2["path"] = "g2/" + g2["path"]
+    # one junk-sha row: must be excluded, not indexed under the wrong sha
+    g2.loc[0, "content_sha256"] = "f" * 64
+    inc = IncrementalIndexer(spark, d)
+    m = inc.update(spark.createDataFrame(g2), "heal-ss-d2")
+    assert m["rows_invalid_sha"] == 1
+    assert os.path.exists(summ) and os.path.exists(stats)
+    assert not os.path.exists(summ + "_next")
+    assert not os.path.exists(stats + "_next")
+
+    union = pd.concat([base, g2.iloc[1:]], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    for q in QUERIES:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+
 def test_shard_ranges_cover_sparse_live_ids(spark, tmp_path, monkeypatch):
     """Ids are append-assigned and never reused: after every doc of a 100-doc
     corpus is replaced once and the index compacted, the live ids occupy
