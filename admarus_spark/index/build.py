@@ -255,19 +255,21 @@ def assign_range_ids(docs: DataFrame, n_parts: int, base: int = 0):
     consumed."""
     spark = docs.sparkSession
     manifest = (
-        # distinct: ONE id per (repo, path) even when the input carries a
-        # key twice — the extra slim exchange is over two string columns
-        # and a no-op shuffle-dedup on clean inputs
         docs.select("repo", "path")
-        .distinct()
         .repartitionByRange(n_parts, "repo", "path")
         .sortWithinPartitions("repo", "path")
         .persist()
     )
+    # ONE id per DISTINCT (repo, path) even when the input carries a key
+    # twice, WITHOUT a distinct() exchange: range partitioning sends equal
+    # keys to one partition and the sort makes them adjacent, so the
+    # distinct count is a map-side partial per partition (the collect is
+    # n_parts rows) and the dedup itself is adjacent-row dropping inside
+    # the id-assign Arrow pass below — zero extra shuffles on any input.
     part_counts = {
         r["pid"]: r["cnt"]
         for r in manifest.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count_distinct(F.struct("repo", "path")).alias("cnt"))
         .collect()
     }
     offsets = {}
@@ -283,7 +285,24 @@ def assign_range_ids(docs: DataFrame, n_parts: int, base: int = 0):
         pid = TaskContext.get().partitionId()
         pbase = bc_offsets.value.get(pid, 0)
         seen = 0
+        last = None  # (repo, path) of the previous batch's final row
         for pdf in iterator:
+            if not len(pdf):
+                continue
+            # drop adjacent duplicate keys (sorted within partition), with a
+            # tail-carry so a run straddling an Arrow batch boundary still
+            # collapses to its first row
+            keep = ~(
+                pdf["repo"].eq(pdf["repo"].shift())
+                & pdf["path"].eq(pdf["path"].shift())
+            ).to_numpy()
+            if last is not None and keep[0]:
+                keep[0] = (pdf["repo"].iat[0], pdf["path"].iat[0]) != last
+            last = (pdf["repo"].iat[-1], pdf["path"].iat[-1])
+            if not keep.all():
+                pdf = pdf[keep]
+                if not len(pdf):
+                    continue
             pdf = pdf.assign(
                 doc_id=np.arange(pbase + seen, pbase + seen + len(pdf), dtype=np.int64)
             )

@@ -273,6 +273,56 @@ def test_duplicate_input_paths_deduped_to_max_sha_winner(
     run_parity(eng, oracle, ["hunger", "hunger AND games", "perfectly matching"])
 
 
+def test_assign_range_ids_dedup_is_shuffle_free(spark):
+    """The manifest dedup must stay partition-local: range partitioning
+    co-locates equal (repo, path) keys and the partition sort makes them
+    adjacent, so duplicate dropping rides the existing id-assign Arrow pass
+    (with a batch tail-carry) and the distinct count is a map-side partial.
+    Pin BOTH the semantics (dense ids over distinct keys, duplicates
+    collapsed even when a run straddles Arrow batch boundaries) and the
+    plan shape (exactly ONE exchange — the range repartition; a distinct()
+    regression would add a hash exchange)."""
+    import pandas as pd
+
+    from admarus_spark.index.build import assign_range_ids
+
+    rows = []
+    for i in range(600):
+        # every 7th key duplicated 3x: runs long enough to straddle the
+        # 64-row Arrow batches forced below
+        for _ in range(3 if i % 7 == 0 else 1):
+            rows.append({"repo": f"r{i % 5}", "path": f"p{i:05d}"})
+    pdf = pd.DataFrame(rows).sample(frac=1.0, random_state=7)  # shuffled input
+    docs = spark.createDataFrame(pdf)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        manifest_ids, manifest, part_counts, _ = assign_range_ids(docs, 4, base=10)
+        got = manifest_ids.toPandas().sort_values("doc_id")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        manifest.unpersist()
+
+    want = (
+        pdf.drop_duplicates()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert sum(part_counts.values()) == len(want)
+    assert list(got["doc_id"]) == list(range(10, 10 + len(want)))
+    assert list(zip(got["repo"], got["path"])) == list(zip(want["repo"], want["path"]))
+
+    plan = manifest_ids._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchange is the range repartition; a distinct()/dropDuplicates
+    # regression would add an Exchange hashpartitioning + HashAggregate pair
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
 def test_result_schema(movies_engine):
     df = movies_engine.search("hunger", 3)
     assert [f.name for f in df.schema.fields] == [
