@@ -50,7 +50,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import BLOCK_SIZE, FILTER_BITS
@@ -311,6 +311,103 @@ def assign_range_ids(docs: DataFrame, n_parts: int, base: int = 0):
 
     manifest_ids = manifest.mapInPandas(assign_ids, "repo string, path string, doc_id long")
     return manifest_ids, manifest, part_counts, offsets
+
+
+# above this many duplicate rows the duplicated-key set is no longer safely
+# broadcastable and the dedup falls back to one full-row max-struct aggregate
+DUP_KEYS_BROADCAST_MAX = int(os.environ.get("SPARK_GRAFT_DUP_KEYS_BROADCAST_MAX", 1_000_000))
+
+
+def dedup_doc_rows(docs: DataFrame, n_dup_rows: int) -> DataFrame:
+    """ONE deterministic winner per duplicated (repo, path): the row with the
+    greatest (content_sha256, *other columns) tuple — the SAME pinned total
+    order as IncrementalIndexer.update()'s within-delta dedup, so build and
+    incremental pick identical winners (equal-sha duplicates with differing
+    metadata tie-break on the full column tuple; a bare desc-sha order would
+    leave the winner nondeterministic across runs). Runs AFTER sha
+    validation, so a junk-sha duplicate can never shadow a valid row.
+
+    Shuffle shape (r5 review): rows with unique keys must NOT pay a full-row
+    exchange for someone else's duplicates. The duplicated keys are found
+    with a slim key-only aggregate and, while their row count is bounded
+    (``n_dup_rows`` is known exactly from the manifest's distinct counts),
+    broadcast: unique rows pass through a broadcast ANTI-join (no exchange of
+    content bytes) and only the duplicated rows enter the max-struct
+    aggregate. Above ``DUP_KEYS_BROADCAST_MAX`` the whole input falls back to
+    the aggregate — one full-row exchange, the exact shape the incremental
+    dedup pays on every delta."""
+    if n_dup_rows > DUP_KEYS_BROADCAST_MAX:
+        return max_tuple_dedup(docs)
+    dup_keys = (
+        docs.groupBy("repo", "path")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("repo", "path")
+    )
+    uniq = docs.join(F.broadcast(dup_keys), ["repo", "path"], "left_anti")
+    dups = docs.join(F.broadcast(dup_keys), ["repo", "path"], "left_semi")
+    return uniq.select(*docs.columns).unionByName(max_tuple_dedup(dups))
+
+
+def max_tuple_dedup(df: DataFrame) -> DataFrame:
+    """The pinned winner rule itself, in ONE place (CLAUDE.md single-source
+    parity): per (repo, path) keep the row with the greatest
+    (content_sha256, *other columns) tuple — a max-struct aggregate, so
+    map-side partials collapse duplicates before the exchange. Used directly
+    by IncrementalIndexer.update()'s within-delta dedup (every delta, full
+    aggregate — delta-sized by construction) and by ``dedup_doc_rows`` for
+    the build's duplicated-rows subset."""
+    other = [c for c in df.columns if c not in ("repo", "path")]
+    ordered = ["content_sha256"] + [c for c in other if c != "content_sha256"]
+    return (
+        df.groupBy("repo", "path")
+        .agg(F.max(F.struct(*[F.col(c).alias(c) for c in ordered])).alias("_w"))
+        .select("repo", "path", *[F.col(f"_w.{c}").alias(c) for c in other])
+        .select(*df.columns)
+    )
+
+
+def write_swap(df: DataFrame, path: str) -> None:
+    """Crash-safe single-file table replace: write the FULL new content to
+    ``<path>_next``, then ``swap_dir`` it into place. A plain
+    ``mode('overwrite')`` on the live dir deletes the existing files before
+    the job commits — a crash in that window loses the table (for summaries
+    that meant permanently losing un-affected buckets' bloom rows: bloom
+    false negatives, silently empty queries). The plan may read the live
+    ``path`` — it executes fully against the old files before any rename."""
+    nxt = path + "_next"
+    shutil.rmtree(nxt, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(nxt)
+    swap_dir(path, nxt)
+
+
+def swap_dir(path: str, next_path: str) -> None:
+    """Atomic-enough local-dir swap: retire the old dir, promote the new.
+    A crash between the two renames leaves ``path`` missing — recovered by
+    ``heal_swap``, which update()/compact() run before reading and
+    SearchEngine runs at init when a live dir is missing."""
+    old = path + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(next_path, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def heal_swap(path: str) -> None:
+    """Recover a ``swap_dir`` interrupted between its renames (r5 review):
+    the live dir is missing while ``<path>_next`` still exists — promote it
+    (``_next`` is always FULLY written before any swap starts, so it is the
+    complete new generation). If only ``<path>_old`` remains (a crash inside
+    a previous heal's rmtree), restore it: stale-but-consistent beats
+    missing, and re-running the interrupted compact()/update() converges.
+    Idempotent; leftover ``_old`` debris is cleared either way."""
+    old, nxt = path + "_old", path + "_next"
+    if not os.path.exists(path):
+        if os.path.exists(nxt):
+            os.rename(nxt, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _merge_term_chunks(
@@ -610,30 +707,26 @@ class IndexBuilder:
         n_parts = max(1, min(parallelism, max(1, n_total // 50)))
         manifest_ids, manifest, part_counts, offsets = assign_range_ids(docs, n_parts)
 
+        # sha gate BEFORE the duplicate-key dedup (same order as the
+        # incremental path, r5 review): a junk-sha duplicate sorts above any
+        # real hex sha and would otherwise win the dedup and then be dropped
+        # by the gate — silently losing the valid version of the document.
+        if self.validate_sha and has_sha:
+            docs = docs.filter(
+                F.sha2(F.col("content"), 256) == F.col("content_sha256")
+            )
         # a crawl dump can carry the same (repo, path) twice (two observed
         # versions): without a guard the manifest join fans out 2x2 —
         # duplicate postings, double-counted df, multiple doc_dict rows per
         # id. Detection is FREE (the distinct manifest count falls out of
-        # part_counts); the window dedup — same deterministic max-sha winner
-        # rule as the incremental within-delta dedup — runs ONLY on dirty
-        # inputs, so clean corpora pay nothing.
+        # part_counts — note it counts pre-validation rows, so a dup whose
+        # copies were all invalid triggers a vacuous dedup: harmless); the
+        # dedup runs ONLY on dirty inputs, so clean corpora pay nothing.
         n_unique = sum(part_counts.values())
         n_dup_rows = n_total - n_unique
         if n_dup_rows > 0:
-            w_dup = Window.partitionBy("repo", "path").orderBy(
-                F.desc("content_sha256")
-            )
-            docs = (
-                docs.withColumn("_rn", F.row_number().over(w_dup))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        if self.validate_sha and has_sha:
-            valid = docs.filter(
-                F.sha2(F.col("content"), 256) == F.col("content_sha256")
-            )
-        else:
-            valid = docs
+            docs = dedup_doc_rows(docs, n_dup_rows)
+        valid = docs
         # a locally-generated corpus often arrives as few parquet splits — the
         # tokenize stage would under-parallelize; widen to the session's
         # parallelism (no-op on real multi-split inputs)

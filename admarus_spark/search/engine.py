@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .. import BM25_B, BM25_K1, FILTER_BITS
 from ..hashword import filter_get
-from ..index.build import IndexPaths
+from ..index.build import IndexPaths, heal_swap
 from ..index.codec import decode_postings
 from ..murmur import identity_partition_keys, term_bucket
 from ..oracle import bm25_idf
@@ -67,6 +67,16 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        # heal interrupted write-then-swap replacements (r5 review): a crash
+        # between swap_dir's two renames leaves a live dir missing with the
+        # complete new generation in <dir>_next — a read-only consumer
+        # constructed inside that window must promote it, not fail at the
+        # parquet read. Guarded on the dir being absent so a clean init
+        # touches nothing (single-writer: no update()/compact() mid-flight).
+        for _p in (self.paths.stats, self.paths.summaries,
+                   self.paths.postings, self.paths.doc_dict):
+            if not os.path.isdir(_p):
+                heal_swap(_p)
         stats = spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])

@@ -63,7 +63,11 @@ from ..index.build import (
     IndexBuilder,
     IndexPaths,
     _tokenize_tf_map,
+    heal_swap as _heal_swap,
+    max_tuple_dedup as _max_tuple_dedup,
+    swap_dir as _swap_dir,
     terms_bloom_of as _terms_bloom_of,
+    write_swap as _write_swap,
 )
 
 
@@ -133,13 +137,13 @@ class IncrementalIndexer:
         # One deterministic winner per path: the row with the greatest
         # (content_sha256, other columns) — a batch has no arrival order,
         # any pinned total order works, and re-runs pick the same winner.
-        other_cols = [c for c in delta.columns if c not in ("repo", "path")]
-        ordered = ["content_sha256"] + [c for c in other_cols if c != "content_sha256"]
-        delta = (
-            delta.groupBy("repo", "path")
-            .agg(F.max(F.struct(*[F.col(c).alias(c) for c in ordered])).alias("_w"))
-            .select("repo", "path", *[F.col(f"_w.{c}").alias(c) for c in other_cols])
-        )
+        # The rule lives in index.build.max_tuple_dedup, SHARED with the
+        # full build's duplicate-input dedup so the two paths can never pick
+        # different winners for the same dirty rows. persist(): the deduped
+        # delta feeds several independent materializations (the new/changed
+        # joins, the tokenize pass) — without the pin each re-runs the
+        # upstream sha2 validation filter over the delta's content.
+        delta = _max_tuple_dedup(delta).persist()
         # LIVE view of the corpus: doc_dict minus tombstoned ids (a changed
         # path's previous generation). Dead ids are PINNED driver-side (the
         # set is small by design — a full rebuild compacts it): every later
@@ -227,8 +231,13 @@ class IncrementalIndexer:
             )
             with_ids = fresh.join(manifest, ["repo", "path"])
         if n_new == 0:
+            delta.unpersist()
+            # rows_invalid_sha present even here (r5 review): a delta
+            # rejected WHOLESALE (all rows invalid or all unchanged) is
+            # exactly when a caller monitoring the metric needs it
             return {
-                "rows_in": n_delta, "rows_new": 0, "rows_changed": 0,
+                "rows_in": n_delta, "rows_invalid_sha": int(n_invalid_delta),
+                "rows_new": 0, "rows_changed": 0,
                 "seconds": time.time() - t0,
             }
 
@@ -360,6 +369,13 @@ class IncrementalIndexer:
         # still counts those docs, so a crash before the doc_dict append
         # must remain detectable — the marker is what makes the rerun take
         # the orphan-recovery recompute instead of double-counting them.
+        # heal a torn final line BEFORE appending (r5 review): 'a'-mode would
+        # concatenate the new marker onto the torn fragment, garbling BOTH —
+        # losing this run's id range AND turning a tolerated torn-final line
+        # into a loud mid-file corruption error on every later read. The
+        # fragment is safe to discard: its postings never landed (they are
+        # written only after the fsync below succeeds).
+        _heal_marker_tail(gen_path)
         with open(gen_path, "a") as f:
             f.write(f"{input_token}\t{max_id + 1}\t{max_id + int(n_new)}\n")
             # fsync BEFORE the postings land: the 'marker before postings'
@@ -368,6 +384,16 @@ class IncrementalIndexer:
             # commit below survives, leaving unrecorded orphan ids
             f.flush()
             os.fsync(f.fileno())
+        # ...and fsync the DIRECTORY entry: on the first-ever update the
+        # marker file itself was just created, and file-data fsync does not
+        # make the dirent durable — power loss could drop the whole file
+        # while the postings parquet survives (the exact unrecorded-orphan
+        # hole the marker exists to close)
+        dfd = os.open(self.index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         if affected:
             (
                 new_posts.write.mode("append")
@@ -533,6 +559,7 @@ class IncrementalIndexer:
 
         if manifest_persist is not None:
             manifest_persist.unpersist()
+        delta.unpersist()
         out = {
             "rows_in": n_delta,
             "rows_invalid_sha": int(n_invalid_delta),
@@ -889,6 +916,18 @@ class IncrementalIndexer:
 # byte-serialization contract cannot silently diverge between write paths.
 
 
+def _heal_marker_tail(gen_path: str) -> None:
+    """Truncate a torn final ``generations`` line (a crash mid-append left no
+    trailing newline). Must run before any append — see update()'s call
+    site. A torn line's postings never landed, so dropping it is safe."""
+    if not os.path.exists(gen_path):
+        return
+    with open(gen_path, "rb+") as f:
+        data = f.read()
+        if data and not data.endswith(b"\n"):
+            f.truncate(data.rfind(b"\n") + 1)
+
+
 def _marker_max_id(gen_path: str) -> int:
     """Max doc id recorded in the ``generations`` marker (-1 when absent).
     Each line is ``token\\tlo\\thi``, written BEFORE the append's postings
@@ -914,45 +953,10 @@ def _marker_max_id(gen_path: str) -> int:
     return m
 
 
-def _write_swap(df, path: str) -> None:
-    """Crash-safe single-file table replace: write the FULL new content to
-    ``<path>_next``, then ``_swap_dir`` it into place. A plain
-    ``mode('overwrite')`` on the live dir deletes the existing files before
-    the job commits — a crash in that window loses the table (for summaries
-    that meant permanently losing un-affected buckets' bloom rows: bloom
-    false negatives, silently empty queries). The plan may read the live
-    ``path`` — it executes fully against the old files before any rename."""
-    nxt = path + "_next"
-    shutil.rmtree(nxt, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(nxt)
-    _swap_dir(path, nxt)
-
-
-def _swap_dir(path: str, next_path: str) -> None:
-    """Atomic-enough local-dir swap: retire the old dir, promote the new.
-    A crash between the two renames leaves ``path`` missing — recovered by
-    ``_heal_swap``, which update()/compact() run before reading."""
-    old = path + "_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(next_path, path)
-    shutil.rmtree(old, ignore_errors=True)
-
-
-def _heal_swap(path: str) -> None:
-    """Recover a ``_swap_dir`` interrupted between its renames (r5 review):
-    the live dir is missing while ``<path>_next`` still exists — promote it
-    (``_next`` is always FULLY written before any swap starts, so it is the
-    complete new generation). If only ``<path>_old`` remains (a crash inside
-    a previous heal's rmtree), restore it: stale-but-consistent beats
-    missing, and re-running the interrupted compact()/update() converges.
-    Idempotent; leftover ``_old`` debris is cleared either way."""
-    old, nxt = path + "_old", path + "_next"
-    if not os.path.exists(path):
-        if os.path.exists(nxt):
-            os.rename(nxt, path)
-        elif os.path.exists(old):
-            os.rename(old, path)
-    shutil.rmtree(old, ignore_errors=True)
+# NOTE: the write-then-swap trio (write_swap/swap_dir/heal_swap) lives in
+# index.build (imported above under the legacy underscore names) — shared
+# with SearchEngine, which heals interrupted swaps at init (a read-only
+# consumer constructed inside the crash window must recover, not fail at
+# the parquet read).
 
 

@@ -273,6 +273,85 @@ def test_duplicate_input_paths_deduped_to_max_sha_winner(
     run_parity(eng, oracle, ["hunger", "hunger AND games", "perfectly matching"])
 
 
+def test_duplicate_with_junk_sha_never_shadows_valid_row(
+    spark, movies_pdf, tmp_path
+):
+    """sha validation runs BEFORE the duplicate dedup (same order as the
+    incremental path): a junk-sha duplicate sorts above any real hex sha —
+    if it won the dedup first, the gate would then drop it and the VALID
+    version of the document would silently vanish from the index."""
+    from admarus_spark.oracle import OracleIndex
+
+    dirty = movies_pdf.copy()
+    dup = dirty.iloc[[3]].copy()
+    dup["content"] = dup["content"] + " poisoned copy"
+    dup["content_sha256"] = "f" * 64  # junk: max possible hex string
+    dirty = __import__("pandas").concat([dirty, dup], ignore_index=True)
+
+    oracle = OracleIndex(movies_pdf)  # the valid originals, nothing lost
+    d = str(tmp_path / "idx_junkdup")
+    b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
+    b.build(spark.createDataFrame(dirty), input_token="junkdup")
+    m = b.metrics["stage1_tokenize"]
+    assert m["rows_dup_path"] == 1
+    assert m["n_docs"] == len(movies_pdf)
+
+    eng = SearchEngine(spark, d)
+    run_parity(eng, oracle, ["hunger", "hunger AND games", "perfectly matching"])
+
+
+def test_duplicate_equal_sha_winner_is_deterministic(spark, movies_pdf, tmp_path):
+    """Equal-sha duplicates with differing metadata must pick the SAME winner
+    on every run: the dedup orders by the full (content_sha256, *other
+    columns) tuple (index.build.max_tuple_dedup — shared with the
+    incremental within-delta dedup), not by sha alone, where row_number
+    over a tied ordering is nondeterministic across partitionings."""
+    dirty = movies_pdf.copy()
+    dup = dirty.iloc[[8]].copy()  # same content + sha, different commit
+    dup["commit"] = "z" * 40  # sorts above any hex commit
+    dirty = __import__("pandas").concat([dirty, dup], ignore_index=True)
+    key_path = dup["path"].iat[0]
+
+    for token in ("eqsha-a", "eqsha-b"):
+        d = str(tmp_path / f"idx_{token}")
+        b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
+        b.build(spark.createDataFrame(dirty), input_token=token)
+        dd = spark.read.parquet(d + "/doc_dict").toPandas()
+        row = dd[dd["path"] == key_path]
+        assert len(row) == 1
+        assert row["commit"].iat[0] == "z" * 40  # max-tuple winner, both runs
+
+
+def test_dedup_doc_rows_fallback_matches_broadcast_path(spark, monkeypatch):
+    """dedup_doc_rows has two physical shapes — broadcast-split (unique rows
+    bypass the exchange) and the full max-struct aggregate above the
+    duplicated-rows cap. Same winners either way."""
+    import pandas as pd
+
+    from admarus_spark.index import build as build_mod
+
+    rows = []
+    for i in range(40):
+        for v in range(3 if i % 5 == 0 else 1):
+            c = f"content {i} v{v}"
+            rows.append({
+                "repo": "r", "path": f"p{i:03d}", "commit": f"c{v}",
+                "lang": "en", "content": c,
+                "content_sha256": __import__("hashlib").sha256(c.encode()).hexdigest(),
+            })
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    n_dup = len(rows) - 40
+
+    a = build_mod.dedup_doc_rows(docs, n_dup).toPandas()
+    monkeypatch.setattr(build_mod, "DUP_KEYS_BROADCAST_MAX", 0)
+    b = build_mod.dedup_doc_rows(docs, n_dup).toPandas()
+    key = ["repo", "path"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == 40
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
 def test_assign_range_ids_dedup_is_shuffle_free(spark):
     """The manifest dedup must stay partition-local: range partitioning
     co-locates equal (repo, path) keys and the partition sort makes them

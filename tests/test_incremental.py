@@ -1018,6 +1018,93 @@ def test_heal_swap_recovers_summaries_and_stats(spark, tmp_path):
         assert got == want, q
 
 
+def test_torn_marker_tail_healed_on_next_update(spark, tmp_path):
+    """A crash mid-append can leave the generations marker with a torn final
+    line (no trailing newline). The NEXT update must truncate it before
+    appending — 'a'-mode would otherwise concatenate the two lines into one
+    garbled record, losing the new run's id range and turning the tolerated
+    torn-FINAL line into a loud mid-file corruption error forever after."""
+    import os
+
+    from admarus_spark.streaming.incremental import _marker_max_id
+
+    base = make_docs_corpus(60, seed=91)
+    d = str(tmp_path / "idx_torn")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="torn-base"
+    )
+    inc = IncrementalIndexer(spark, d)
+    g2 = make_docs_corpus(20, seed=92)
+    g2["path"] = "g2/" + g2["path"]
+    inc.update(spark.createDataFrame(g2), "torn-d2")
+
+    gen = os.path.join(d, "generations")
+    with open(gen, "a") as f:
+        f.write("torn-run\t99")  # torn fragment: no \n, unparseable
+    m_before = _marker_max_id(gen)  # tolerated as the FINAL line
+
+    g3 = make_docs_corpus(20, seed=93)
+    g3["path"] = "g3/" + g3["path"]
+    inc.update(spark.createDataFrame(g3), "torn-d4")
+
+    with open(gen) as f:
+        lines = f.read().splitlines()
+    assert all(len(ln.split("\t")) == 3 for ln in lines), lines
+    assert _marker_max_id(gen) > m_before  # parseable, new range recorded
+
+    union = pd.concat([base, g2, g3], ignore_index=True)
+    oracle = OracleIndex(union)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)
+    for q in QUERIES[:3]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+
+def test_all_invalid_delta_still_reports_invalid_count(spark, tmp_path):
+    """A delta rejected wholesale (every row sha-invalid) takes the
+    n_new == 0 early return — which must still carry rows_invalid_sha:
+    that is exactly the case a caller monitoring the metric exists for."""
+    base = make_docs_corpus(40, seed=95)
+    d = str(tmp_path / "idx_allbad")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="allbad-base"
+    )
+    bad = make_docs_corpus(5, seed=96)
+    bad["path"] = "bad/" + bad["path"]
+    bad["content_sha256"] = "0" * 64
+    m = IncrementalIndexer(spark, d).update(spark.createDataFrame(bad), "allbad-d2")
+    assert m["rows_new"] == 0
+    assert m["rows_invalid_sha"] == 5
+
+
+def test_engine_init_heals_interrupted_swap(spark, tmp_path):
+    """A crash between swap_dir's two renames leaves stats/summaries missing
+    with the complete new table in <dir>_next. A READ-ONLY consumer
+    (SearchEngine) constructed inside that window must heal and serve —
+    update()/compact() are not the only processes that open an index."""
+    import os
+
+    base = make_docs_corpus(60, seed=97)
+    d = str(tmp_path / "idx_roheal")
+    IndexBuilder(spark, d, n_buckets=2, salt_chunks=2).build(
+        spark.createDataFrame(base), input_token="roheal-base"
+    )
+    os.rename(f"{d}/stats", f"{d}/stats_next")
+    os.rename(f"{d}/summaries", f"{d}/summaries_next")
+
+    oracle = OracleIndex(base)
+    opaths = {i: p for i, p in enumerate(oracle.docs["path"])}
+    eng = SearchEngine(spark, d)  # must heal, not fail at the parquet read
+    assert os.path.isdir(f"{d}/stats") and os.path.isdir(f"{d}/summaries")
+    assert not os.path.exists(f"{d}/stats_next")
+    for q in QUERIES[:3]:
+        got = path_scores(eng.search(q, 10**6))
+        want = sorted((opaths[i], s) for i, s in oracle.search(q, 10**6))
+        assert got == want, q
+
+
 def test_shard_ranges_cover_sparse_live_ids(spark, tmp_path, monkeypatch):
     """Ids are append-assigned and never reused: after every doc of a 100-doc
     corpus is replaced once and the index compacted, the live ids occupy
