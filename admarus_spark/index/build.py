@@ -711,22 +711,31 @@ class IndexBuilder:
         # incremental path, r5 review): a junk-sha duplicate sorts above any
         # real hex sha and would otherwise win the dedup and then be dropped
         # by the gate — silently losing the valid version of the document.
+        # `docs` itself is NOT rebound to the filtered frame on the clean
+        # path: the doc_dict slim scan below deliberately reads no content
+        # (validity comes from the tf marker join), and a filter that hashes
+        # content would force a second full content scan into that job.
         if self.validate_sha and has_sha:
-            docs = docs.filter(
+            valid = docs.filter(
                 F.sha2(F.col("content"), 256) == F.col("content_sha256")
             )
+        else:
+            valid = docs
         # a crawl dump can carry the same (repo, path) twice (two observed
         # versions): without a guard the manifest join fans out 2x2 —
         # duplicate postings, double-counted df, multiple doc_dict rows per
         # id. Detection is FREE (the distinct manifest count falls out of
         # part_counts — note it counts pre-validation rows, so a dup whose
         # copies were all invalid triggers a vacuous dedup: harmless); the
-        # dedup runs ONLY on dirty inputs, so clean corpora pay nothing.
+        # dedup runs ONLY on dirty inputs, so clean corpora pay nothing —
+        # including the doc_dict scan, which on the dirty path alone must
+        # read the deduped (hence filtered) rows for a duplicate-free
+        # dictionary.
         n_unique = sum(part_counts.values())
         n_dup_rows = n_total - n_unique
         if n_dup_rows > 0:
-            docs = dedup_doc_rows(docs, n_dup_rows)
-        valid = docs
+            valid = dedup_doc_rows(valid, n_dup_rows)
+            docs = valid
         # a locally-generated corpus often arrives as few parquet splits — the
         # tokenize stage would under-parallelize; widen to the session's
         # parallelism (no-op on real multi-split inputs)
@@ -765,13 +774,20 @@ class IndexBuilder:
             .select("doc_id", F.col("meta").cast("int").alias("doc_len"))  # marker meta == dl
         )
         slim = docs.select("repo", "path", "commit", "lang", "content_sha256")
-        (
+        dd_frame = (
             slim.join(manifest_join, ["repo", "path"])
             .join(doc_len, "doc_id")
             .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256")
-            .write.mode("overwrite")
-            .parquet(paths.doc_dict)
         )
+        # plan-level guard, recorded in metrics: on a duplicate-free corpus
+        # this job must NOT hash content (r5 regression: rebinding `docs` to
+        # the sha-filtered frame silently re-scanned + re-hashed the whole
+        # content column here — measured +30-100 s of stage 1 at 800k docs).
+        # The dirty path legitimately reads it (dedup needs validated rows).
+        docdict_hashes_content = "sha2(" in (
+            dd_frame._jdf.queryExecution().optimizedPlan().toString()
+        )
+        dd_frame.write.mode("overwrite").parquet(paths.doc_dict)
 
         agg = (
             spark.read.parquet(paths.doc_dict)
@@ -816,6 +832,7 @@ class IndexBuilder:
             {
                 "rows_in": n_total,
                 "rows_dup_path": int(n_dup_rows),
+                "docdict_hashes_content": bool(docdict_hashes_content),
                 "rows_invalid_sha": int(n_invalid),
                 "n_docs": n_docs,
                 "total_tokens": total_tokens,

@@ -223,11 +223,20 @@ def test_sha_validation_excludes_rows(spark, movies_pdf, tmp_path):
     d = str(tmp_path / "idx_sha")
     bad = movies_pdf.copy()
     bad.loc[3, "content_sha256"] = "0" * 64
+    # parquet source, not createDataFrame: the content-free-scan guard below
+    # is a plan assertion, and Catalyst constant-folds filters into a
+    # LocalRelation (where sha2 would vanish from the plan either way)
+    src = str(tmp_path / "docs_sha.parquet")
+    spark.createDataFrame(bad).write.parquet(src)
     b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
-    b.build(spark.createDataFrame(bad), input_token="sha")
+    b.build(spark.read.parquet(src), input_token="sha")
     m = b.metrics["stage1_tokenize"]
     assert m["rows_invalid_sha"] == 1
     assert m["n_docs"] == len(movies_pdf) - 1
+    # duplicate-free input: the doc_dict job must stay content-free — the
+    # validity filter lives in the tf marker join, NOT a sha2 re-scan (r5
+    # regression guard; the plan-level flag is recorded by the build)
+    assert m["docdict_hashes_content"] is False
 
 
 def test_duplicate_input_paths_deduped_to_max_sha_winner(
@@ -259,11 +268,17 @@ def test_duplicate_input_paths_deduped_to_max_sha_winner(
     oracle = OracleIndex(clean)
 
     d = str(tmp_path / "idx_dup")
+    src = str(tmp_path / "docs_dup.parquet")
+    spark.createDataFrame(dirty).write.parquet(src)
     b = IndexBuilder(spark, d, n_buckets=4, salt_chunks=2)
-    b.build(spark.createDataFrame(dirty), input_token="dup")
+    b.build(spark.read.parquet(src), input_token="dup")
     m = b.metrics["stage1_tokenize"]
     assert m["rows_dup_path"] == 1
     assert m["n_docs"] == len(clean)
+    # the dirty path alone pays the content re-scan (dedup needs the
+    # sha-validated rows in the dictionary lineage; parquet source so the
+    # plan flag is meaningful — see test_sha_validation_excludes_rows)
+    assert m["docdict_hashes_content"] is True
 
     dd = spark.read.parquet(d + "/doc_dict").toPandas()
     assert len(dd) == len(clean)
