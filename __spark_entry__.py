@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from admarus_spark import BM25_B, BM25_K1, ops
 from admarus_spark.index.build import IndexBuilder
+from admarus_spark.ops._scan import scan_wide
 from admarus_spark.search.engine import SearchEngine
 from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
 
@@ -38,6 +39,14 @@ _ENGINES: dict[str, SearchEngine] = {}
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan widened for tokenize-heavy map work (ops/_scan.py:
+    single-row-group local corpora pin the whole pipelined map stage to one
+    task). The index-build entries keep the narrow ``_documents`` — the
+    builder applies its own widening rule to its content scan."""
+    return scan_wide(spark, _documents(spark, sf_dir))
 
 
 def _docs_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +451,7 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+A1: vectorized tokenizer + per-(doc, term) tf (documents.rs:48-52,
     inner_im.rs:75-79 — tf by repetition)."""
     tok = make_tokenize_udf()
-    d = _documents(spark, sf_dir)
+    d = _documents_wide(spark, sf_dir)
     return (
         d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -453,14 +462,14 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: per-doc token count (doc_len)."""
     tok = make_tokenize_udf()
-    d = _documents(spark, sf_dir)
+    d = _documents_wide(spark, sf_dir)
     return d.select("doc_id", F.size(tok(F.col("text"))).cast("long").alias("doc_len"))
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: corpus N / total tokens / avgdl (BM25 globals)."""
     tok = make_tokenize_udf()
-    d = _documents(spark, sf_dir)
+    d = _documents_wide(spark, sf_dir)
     per_doc = d.select(F.size(tok(F.col("text"))).cast("long").alias("dl"))
     return per_doc.agg(
         F.count("*").alias("n_docs"),
@@ -472,7 +481,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/O3: dictionary (term -> document frequency)."""
     tok = make_tokenize_udf()
-    d = _documents(spark, sf_dir)
+    d = _documents_wide(spark, sf_dir)
     return (
         d.select("doc_id", F.explode_outer(F.array_distinct(tok(F.col("text")))).alias("term"))
         .filter(F.col("term").isNotNull())
@@ -497,7 +506,7 @@ def q_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 candidate generation: union of positive terms' posting doc ids."""
     tok = make_tokenize_udf()
-    d = _documents(spark, sf_dir)
+    d = _documents_wide(spark, sf_dir)
     terms = ["batch", "dup"]
     return (
         d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))

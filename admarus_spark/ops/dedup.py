@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
+from ._scan import scan_wide
 
 NUM_PERM = 12
 BAND_ROWS = 3          # 12 perms / 3 rows = 4 bands
@@ -60,7 +61,7 @@ WHERE len(t) >= 3
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) token-3-gram stream."""
     tok = make_tokenize_udf()
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = d.select("doc_id", tok(F.col("text")).alias("t"))
     sh = F.when(
         F.size("t") >= 3,
@@ -72,7 +73,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 def exact_groups(spark: SparkSession, sf_dir: str, hash_method: str = "md5") -> DataFrame:
     """Exact dedup: group by content hash; keep_id = min doc_id per group."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         d.groupBy(_hash_col(F.col("text"), hash_method).alias("content_md5"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
@@ -164,7 +165,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants, so the whole fingerprint is ONE whole-stage-codegen groupBy
     (the r1 plan exploded each tf row x60 through two extra shuffles)."""
     tok = make_tokenize_udf()
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tf = (
         d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")

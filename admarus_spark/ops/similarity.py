@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._scan import scan_wide
+
 TOP_K = 10
 NB_PLANES = 6
 NEARDUP_THRESHOLD = 0.35
@@ -35,7 +37,7 @@ QUERY_VEC_ID = 0
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = scan_wide(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
 
 
