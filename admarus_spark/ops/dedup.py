@@ -218,23 +218,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard over distinct 3-gram shingle sets for pairs sharing at least
     one shingle, with a document-frequency CAP on shingles: shingles present
     in more than MAX_SHINGLE_DF docs (boilerplate — license headers, common
-    idioms) are excluded from BOTH the intersection join and the set sizes.
-    Without the cap the shingle self-join is O(df^2) per hot shingle — a
-    single million-doc boilerplate shingle alone would dominate the whole
-    job at corpus scale; with it, per-shingle join work is bounded by
-    MAX_SHINGLE_DF^2 and the hot-shingle exclusion list is tiny (an
-    auto-broadcast anti-join). Standard practice for near-dup mining; the
-    DuckDB oracle applies the identical cap."""
-    sh = _shingles(spark, sf_dir).distinct()
-    hot = (
+    idioms) are excluded from BOTH the intersection computation and the set
+    sizes. Without the cap the per-shingle pair fan-out is O(df^2) per hot
+    shingle — a single million-doc boilerplate shingle alone would dominate
+    the whole job at corpus scale; with it, per-shingle work is bounded by
+    MAX_SHINGLE_DF^2. Standard practice for near-dup mining; the DuckDB
+    oracle applies the identical cap.
+
+    r6 plan (same values, one shingle pass): the previous shape — distinct
+    stream → hot-shingle anti-join → 900k-row broadcast self-join, with the
+    sizes aggregate re-reading the stream — recomputed the whole tokenize →
+    distinct → cap chain FOUR times (Catalyst reused none of the identical
+    exchanges across the branches; plans/r06). Now ONE groupBy(shingle)
+    builds the capped shingle → doc-set table (collect_set dedups per-doc
+    shingle repeats, the size filter IS the df cap) and persists it —
+    bounded at ≤ cap ids per kept shingle — and every consumer derives
+    from the cache: the kept (shingle, doc_id) stream by explode, sizes
+    and the pair self-join from that stream. The explode preserves the
+    groupBy's hash partitioning on shingle, so the self-join adds no new
+    exchange for its equi-key. The sizes attach stays a plain equi-join so
+    the planner can broadcast locally but fall back at corpus scale."""
+    sh = _shingles(spark, sf_dir)
+    g = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("sdf"))
-        .filter(F.col("sdf") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    ).persist()
+    kept = g.select("shingle", F.explode("docs").alias("doc_id"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = kept.alias("a"), kept.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
