@@ -25,7 +25,7 @@ from admarus_spark import BM25_B, BM25_K1, ops
 from admarus_spark.index.build import IndexBuilder
 from admarus_spark.ops._scan import scan_wide
 from admarus_spark.search.engine import SearchEngine
-from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
+from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
 
 K1, B = BM25_K1, BM25_B
 DEFAULT_K = 10
@@ -450,10 +450,9 @@ def _bmp_replace_src(sql: str, src: str) -> str:
 def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+A1: vectorized tokenizer + per-(doc, term) tf (documents.rs:48-52,
     inner_im.rs:75-79 — tf by repetition)."""
-    tok = make_tokenize_udf()
     d = _documents_wide(spark, sf_dir)
     return (
-        d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+        d.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -461,16 +460,14 @@ def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: per-doc token count (doc_len)."""
-    tok = make_tokenize_udf()
     d = _documents_wide(spark, sf_dir)
-    return d.select("doc_id", F.size(tok(F.col("text"))).cast("long").alias("doc_len"))
+    return d.select("doc_id", F.size(tokenize_expr(F.col("text"))).cast("long").alias("doc_len"))
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: corpus N / total tokens / avgdl (BM25 globals)."""
-    tok = make_tokenize_udf()
     d = _documents_wide(spark, sf_dir)
-    per_doc = d.select(F.size(tok(F.col("text"))).cast("long").alias("dl"))
+    per_doc = d.select(F.size(tokenize_expr(F.col("text"))).cast("long").alias("dl"))
     return per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
@@ -480,10 +477,9 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/O3: dictionary (term -> document frequency)."""
-    tok = make_tokenize_udf()
     d = _documents_wide(spark, sf_dir)
     return (
-        d.select("doc_id", F.explode_outer(F.array_distinct(tok(F.col("text")))).alias("term"))
+        d.select("doc_id", F.explode_outer(F.array_distinct(tokenize_expr(F.col("text")))).alias("term"))
         .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -505,11 +501,10 @@ def q_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 candidate generation: union of positive terms' posting doc ids."""
-    tok = make_tokenize_udf()
     d = _documents_wide(spark, sf_dir)
     terms = ["batch", "dup"]
     return (
-        d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+        d.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
         .filter(F.col("term").isin(terms))
         .select("doc_id")
         .distinct()
@@ -548,12 +543,11 @@ def _bm25_grouped_anchored(query_text: str, gk: int = 25):
 
         eng = _engine(spark, sf_dir)
         res = eng.search(query_text, None)
-        tok = make_tokenize_udf()
         titles = _documents(spark, sf_dir).select(
             F.concat(
                 F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 10, "0")
             ).alias("path"),
-            F.slice(tok(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
+            F.slice(tokenize_expr(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
         )
         return group_anchored(
             res,
@@ -603,10 +597,9 @@ def _bm25_grouped_walk(query_text: str, gk: int = 30):
         res = eng.search(query_text, None)
         did = F.expr("CAST(substring(path, 5, 10) AS BIGINT)")
         res = res.select(_nested_path_col(did).alias("path"), "score")
-        tok = make_tokenize_udf()
         titles = _documents(spark, sf_dir).select(
             _nested_path_col(F.col("doc_id")).alias("path"),
-            F.slice(tok(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
+            F.slice(tokenize_expr(F.col("text")), 1, TITLE_TOKENS).alias("ttoks"),
         )
         return group_walk(res, titles, parse_query(query_text).root, limit=gk)
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
+from ..tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
 from ._scan import scan_wide
 
 NUM_PERM = 12
@@ -60,9 +60,8 @@ WHERE len(t) >= 3
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) token-3-gram stream."""
-    tok = make_tokenize_udf()
     d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    t = d.select("doc_id", tok(F.col("text")).alias("t"))
+    t = d.select("doc_id", tokenize_expr(F.col("text")).alias("t"))
     sh = F.when(
         F.size("t") >= 3,
         F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
@@ -164,10 +163,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term, tf) table — per-j substring positions are compile-time
     constants, so the whole fingerprint is ONE whole-stage-codegen groupBy
     (the r1 plan exploded each tf row x60 through two extra shuffles)."""
-    tok = make_tokenize_udf()
     d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tf = (
-        d.select("doc_id", F.explode(tok(F.col("text"))).alias("term"))
+        d.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import DUCKDB_TOKENS_EXPR, make_tokenize_udf
+from ..tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
 from ._scan import scan_wide
 
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -30,9 +30,8 @@ _TOK_EXPR_DUCK = DUCKDB_TOKENS_EXPR.format(col="text")
 
 
 def _tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = make_tokenize_udf()
     d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return d.select("doc_id", "text", tok(F.col("text")).alias("t"))
+    return d.select("doc_id", "text", tokenize_expr(F.col("text")).alias("t"))
 
 
 # ----------------------------------------------------------------------
@@ -309,7 +308,7 @@ def common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference has word lists for English only), NULL otherwise."""
     base = (
         scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
-        .select("doc_id", "lang", make_tokenize_udf()(F.col("text")).alias("t"))
+        .select("doc_id", "lang", tokenize_expr(F.col("text")).alias("t"))
         .select("doc_id", "lang", F.explode_outer("t").alias("term"))
     )
     agg = base.groupBy("doc_id", "lang").agg(

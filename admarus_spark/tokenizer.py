@@ -70,3 +70,34 @@ def make_tokenize_udf():
         return tokenize_series(texts)
 
     return tokenize_udf
+
+
+def tokenize_expr(col):
+    """Pure-Catalyst tokenizer Column (r6): the same split-on-non-[0-9a-z] +
+    length>=3 rule as ``tokenize``, expressed with built-ins so tokenize-heavy
+    query paths stay inside whole-stage codegen — no ArrowEvalPython node, no
+    JVM<->Python transfer of the text and token arrays (guide §4.1; measured
+    15-25% faster than the pandas UDF on the tf/df/shingle shapes at sf1.0,
+    OPTIMIZATION_r06.md).
+
+    Parity notes: Java regex ``[^0-9a-z]+`` and RE2/Python agree on this
+    spelled-out class (no ``\\s``-style class differences); leading/trailing
+    empty split tokens fall to the length filter on both engines; ``lower``
+    differences across engines can only matter if a non-ASCII char lowercases
+    INTO [0-9a-z], and the mixed-script cases (İ→i+combining dot, K→k) agree
+    between java.lang.String, Python str.lower and DuckDB — pinned by
+    tests/test_tokenizer.py::test_catalyst_expr_matches_python_tokenize.
+    NULL text yields [] (the pandas UDF's fillna behaviour), so size()/
+    explode_outer shapes stay identical on null-bearing corpora.
+
+    The index build keeps the vectorized pandas path: its fused
+    tokenize+tf-upsert (`build._tokenize_tf_map`) computes per-doc tf inside
+    the Arrow batch with no explode/groupBy at all, which beats both
+    expression forms for that shape."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(col), "[^0-9a-z]+"),
+        lambda t: F.length(t) >= MIN_TOKEN_LEN,
+    )
+    return F.coalesce(toks, F.array().cast("array<string>"))

@@ -37,6 +37,21 @@ def test_unicode_lowercase_then_ascii_split():
     assert tokenize("ÉTÉ abcÉdef") == ["abc", "def"]
 
 
+def test_catalyst_expr_matches_python_tokenize(spark):
+    """The r6 pure-Catalyst tokenizer (tokenize_expr) must agree with the
+    Python reference on the goldens, the unicode-lowercase cases and NULL
+    (the pandas UDF's fillna semantics: null text -> [])."""
+    from pyspark.sql import functions as F
+
+    from admarus_spark.tokenizer import tokenize_expr
+
+    texts = list(CASES) + ["ÉTÉ abcÉdef", "İstanbul KELVİN K abc", None]
+    want = [tokenize(t) if t is not None else [] for t in texts]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(tokenize_expr(F.col("t"))).collect()]
+    assert got == want
+
+
 def test_duckdb_expr_matches_python_tokenize_property():
     """The DuckDB oracle fragment (DUCKDB_TOKENS_EXPR — the ONE SQL
     definition every oracle formats) must agree with the Python reference
