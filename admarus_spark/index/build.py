@@ -787,14 +787,28 @@ class IndexBuilder:
         docdict_hashes_content = "sha2(" in (
             dd_frame._jdf.queryExecution().optimizedPlan().toString()
         )
-        dd_frame.write.mode("overwrite").parquet(paths.doc_dict)
 
-        agg = (
-            spark.read.parquet(paths.doc_dict)
-            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
-            .collect()[0]
-        )
-        n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+        # corpus stats aggregate from the tf MARKER stream, overlapped with
+        # the doc_dict write (guide §2.6 — the two jobs share no dependency;
+        # the tail of either backfills the other's idle cores). Value-equal
+        # to aggregating doc_dict afterwards: the dictionary's row set IS
+        # the marker set (doc_len inner-joins the markers, slim ⊇ valid),
+        # and marker meta == doc_len for every valid doc.
+        def _stats_agg():
+            a = (
+                spark.read.parquet(paths.tf)
+                .filter(F.col("term") == MARKER_TERM)
+                .agg(F.count("*").alias("n_docs"), F.sum("meta").alias("total_tokens"))
+                .collect()[0]
+            )
+            return int(a["n_docs"]), int(a["total_tokens"] or 0)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _stats_fut = _pool.submit(_stats_agg)
+            dd_frame.write.mode("overwrite").parquet(paths.doc_dict)
+            n_docs, total_tokens = _stats_fut.result()
         # invalid = unique keys that did not survive to the dictionary;
         # duplicate input rows are accounted separately (rows_dup_path)
         n_invalid = n_unique - n_docs
@@ -1581,8 +1595,16 @@ class IndexBuilder:
         # the same bloom (inner_im.rs:85). Built as a distributed bit-OR fold
         # over per-partition partial blooms — the driver never sees the
         # distinct value set (repo is per-document cardinality at scale).
+        # It reads doc_dict, the term summaries read postings: independent
+        # jobs, so the meta fold overlaps the summaries materialization
+        # (guide §2.6); the rollup then ORs from the already-built cache.
+        from concurrent.futures import ThreadPoolExecutor
+
         dd = spark.read.parquet(paths.doc_dict)
-        meta_bytes, n_meta_words = meta_bloom_bytes(dd)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _meta_fut = _pool.submit(meta_bloom_bytes, dd)
+            summaries.count()  # materialize the persisted term blooms
+            meta_bytes, n_meta_words = _meta_fut.result()
         rollup = bloom_rollup_rows(spark, summaries, meta_bytes)
         summaries.unionByName(rollup).coalesce(1).write.mode("overwrite").parquet(paths.summaries)
         summaries.unpersist()
