@@ -171,6 +171,18 @@ class SearchEngine:
         self.batch_prune_min_postings = int(
             os.environ.get("SPARK_GRAFT_BATCH_PRUNE_MIN_POSTINGS", 50_000)
         )
+        # the same trade for SINGLE queries (r6): below this total posting
+        # volume, the driver round-trips the pruning paths spend (BMW block
+        # meta + θ-probe blob fetches, conjunctive/n-of-m rare-id fetches)
+        # cost more than the full decode they avoid — measured at sf1.0
+        # (50k docs): wand="off" beat "auto" on every multi-term shape
+        # (n-of-m 0.87→0.64 s) while the single-term executor-side greedy
+        # (zero driver bytes) stayed a win. Full decode is the exactness
+        # BASELINE, so the gate can only widen decoded volume, never
+        # change results. wand="on" still forces the pruning machinery.
+        self.single_prune_min_postings = int(
+            os.environ.get("SPARK_GRAFT_SINGLE_PRUNE_MIN_POSTINGS", 50_000)
+        )
         # batched θ-probing fetches blobs ONLY for terms at or below this df:
         # rare/mid blobs are small and carry the high actual scores that set
         # a tight θ (the df-skew win case); hot blobs never ship driver-side
@@ -350,7 +362,20 @@ class SearchEngine:
             # distinguishes "auto"/"on" from "off" (the full-decode
             # baseline); exactness is never traded.
             shape_safe = is_max_fold(query.root) and not pos_filters and k is not None
-            use_wand = shape_safe and self.wand_safe and wand in ("on", "auto")
+            # small-volume gate (r6): under the threshold, skip every pruning
+            # path that costs a driver round-trip — keep only the per-term
+            # greedy (executor-side, zero driver bytes) for single-term
+            # max-folds. "auto" only; "on" keeps forcing the machinery.
+            small = (
+                wand == "auto"
+                and sum(df_map.values()) < self.single_prune_min_postings
+            )
+            use_wand = (
+                shape_safe
+                and self.wand_safe
+                and wand in ("on", "auto")
+                and not (small and len(df_map) > 1)
+            )
             # conjunctive decode pruning (the AND/n-of-n analog of WAND):
             # every match must contain ALL required words, so the rarest
             # required word's posting ids bound the candidate set EXACTLY —
@@ -363,7 +388,7 @@ class SearchEngine:
                 missing = req - set(df_map)
                 if missing:
                     return self._empty_result()  # a required word is unindexed
-                if len(df_map) > 1:
+                if len(df_map) > 1 and not small:
                     rare = min(req, key=lambda t: df_map[t])
                     if df_map[rare] <= self.and_prune_max_df:
                         cand_ids = self._collect_term_ids(rare)
@@ -383,7 +408,9 @@ class SearchEngine:
                     if not cover:
                         return self._empty_result()  # fewer than n present
                     uniq_cover = list(dict.fromkeys(cover))
-                    if sum(df_map[t] for t in uniq_cover) <= self.and_prune_max_df:
+                    if not small and (
+                        sum(df_map[t] for t in uniq_cover) <= self.and_prune_max_df
+                    ):
                         parts = [self._collect_term_ids(t) for t in uniq_cover]
                         cand_ids = np.unique(np.concatenate(parts))
             if cand_ids is not None and cand_ids.size == 0:

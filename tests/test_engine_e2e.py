@@ -564,12 +564,41 @@ def test_conjunctive_pruning_reduces_decode(docs_engine):
 
 def test_bmw_cross_term_pruning(docs_engine, docs_oracle):
     """Cross-term BMW (one global threshold across the query's terms) must
-    keep top-k exact and record its decode-pruning stats (VERDICT r3 #7)."""
-    run_parity(docs_engine, docs_oracle, ["parser lexer bloom"], k=5)
+    keep top-k exact and record its decode-pruning stats (VERDICT r3 #7).
+    The r6 small-volume gate would route this corpus to the full decode, so
+    the threshold is forced off to exercise the BMW path itself."""
+    old = docs_engine.single_prune_min_postings
+    try:
+        docs_engine.single_prune_min_postings = 0
+        run_parity(docs_engine, docs_oracle, ["parser lexer bloom"], k=5)
+    finally:
+        docs_engine.single_prune_min_postings = old
     stats = docs_engine.last_bmw
     assert stats is not None
     assert 0 < stats["blocks_kept"] <= stats["blocks_total"]
     assert stats["theta"] > float("-inf")
+
+
+def test_small_volume_gate_skips_driver_pruning(docs_engine, docs_oracle):
+    """r6: under single_prune_min_postings, wand='auto' takes the
+    full-decode path for multi-term shapes (no BMW probe, no rare-id fetch)
+    with results still exact; wand='on' keeps forcing BMW."""
+    eng = docs_engine
+    old = eng.single_prune_min_postings
+    try:
+        eng.single_prune_min_postings = 1 << 60  # everything is "small"
+        eng.last_bmw = None
+        run_parity(
+            eng, docs_oracle,
+            ["parser lexer bloom", "license AND parser", "2(parser, lexer, bloom)"],
+            k=5,
+        )
+        assert eng.last_bmw is None  # BMW never engaged under the gate
+        # forcing wand='on' bypasses the gate and still matches
+        run_parity(eng, docs_oracle, ["parser lexer bloom"], k=5, wand="on")
+        assert eng.last_bmw is not None
+    finally:
+        eng.single_prune_min_postings = old
 
 
 def test_zero_term_corpus_builds_empty_index(spark, tmp_path):
