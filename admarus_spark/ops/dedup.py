@@ -184,18 +184,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hv", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
     )
 
-    def bit(j: int):
-        return F.expr(f"(hv >> {59 - j}) & 1")
-
+    # expression STRINGS, not Column chains: 60 aggs plus a 60-branch
+    # fingerprint fold built via Column operators cost ~600 py4j
+    # round-trips — over 1 s of driver time per call, twice the job's
+    # actual execution at sf0.1 (the same constant the engine's _score
+    # eliminated in r5). One F.expr per agg and ONE for the fold.
     v_aggs = [
-        F.sum(F.col("tf") * (F.lit(2) * bit(j) - F.lit(1))).alias(f"v_{j}")
+        F.expr(f"sum(tf * (2 * ((hv >> {59 - j}) & 1) - 1))").alias(f"v_{j}")
         for j in range(60)
     ]
     v = tf.groupBy("doc_id").agg(*v_aggs)
-    fp = F.lit(0).cast("long")
-    for j in range(60):
-        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return v.select("doc_id", fp.cast("long").alias("simhash"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(60)
+    )
+    return v.select("doc_id", F.expr(f"CAST(({fp_sql}) AS BIGINT)").alias("simhash"))
 
 
 SIMHASH_SQL = f"""
