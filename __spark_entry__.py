@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from admarus_spark import BM25_B, BM25_K1, ops
 from admarus_spark.index.build import IndexBuilder
-from admarus_spark.ops._scan import scan_wide
+from admarus_spark.ops._scan import read_wide
 from admarus_spark.search.engine import SearchEngine
 from admarus_spark.tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
 
@@ -46,7 +46,7 @@ def _documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row-group local corpora pin the whole pipelined map stage to one
     task). The index-build entries keep the narrow ``_documents`` — the
     builder applies its own widening rule to its content scan."""
-    return scan_wide(spark, _documents(spark, sf_dir))
+    return read_wide(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _docs_shape(spark: SparkSession, sf_dir: str) -> DataFrame:

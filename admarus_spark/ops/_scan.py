@@ -32,3 +32,21 @@ def scan_wide(spark: SparkSession, df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+# the narrow/wide decision per (path, parallelism) — a property of the file
+# layout, stable for the session; memoized because the .rdd partition-count
+# probe costs ~0.1 s of driver planning per call
+_NARROW: dict[tuple[str, int], bool] = {}
+
+
+def read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """``scan_wide(spark.read.parquet(path))`` with the probe memoized."""
+    n = spark.sparkContext.defaultParallelism
+    key = (path, n)
+    narrow = _NARROW.get(key)
+    df = spark.read.parquet(path)
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < n
+        _NARROW[key] = narrow
+    return df.repartition(n) if narrow else df

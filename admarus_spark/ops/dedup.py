@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
-from ._scan import scan_wide
+from ._scan import read_wide
 
 NUM_PERM = 12
 BAND_ROWS = 3          # 12 perms / 3 rows = 4 bands
@@ -60,7 +60,7 @@ WHERE len(t) >= 3
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) token-3-gram stream."""
-    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_wide(spark, f"{sf_dir}/documents.parquet")
     t = d.select("doc_id", tokenize_expr(F.col("text")).alias("t"))
     sh = F.when(
         F.size("t") >= 3,
@@ -72,7 +72,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 def exact_groups(spark: SparkSession, sf_dir: str, hash_method: str = "md5") -> DataFrame:
     """Exact dedup: group by content hash; keep_id = min doc_id per group."""
-    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_wide(spark, f"{sf_dir}/documents.parquet")
     return (
         d.groupBy(_hash_col(F.col("text"), hash_method).alias("content_md5"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
@@ -176,7 +176,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes its 2^s bit at integer position 4*(15-p)+s, so the old
     ``(digit(j//4+1) >> (3-j%4)) & 1`` equals ``(hv >> (59-j)) & 1``.
     Measured -35% on the aggregate stage at sf1.0."""
-    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_wide(spark, f"{sf_dir}/documents.parquet")
     tf = (
         d.select("doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._scan import scan_wide
+from ._scan import read_wide
 
 TOP_K = 10
 NB_PLANES = 6
@@ -37,7 +37,7 @@ QUERY_VEC_ID = 0
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = scan_wide(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    e = read_wide(spark, f"{sf_dir}/embeddings.parquet")
     return e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
 
 

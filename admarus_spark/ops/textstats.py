@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tokenizer import DUCKDB_TOKENS_EXPR, tokenize_expr
-from ._scan import scan_wide
+from ._scan import read_wide
 
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
@@ -30,7 +30,7 @@ _TOK_EXPR_DUCK = DUCKDB_TOKENS_EXPR.format(col="text")
 
 
 def _tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_wide(spark, f"{sf_dir}/documents.parquet")
     return d.select("doc_id", "text", tokenize_expr(F.col("text")).alias("t"))
 
 
@@ -137,7 +137,7 @@ def _ngram_score_sql(lang: str) -> str:
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang_pred, s_de, s_en, s_es, s_fr): content-derived trigram
     language ID. Scores rounded to 9dp (repo float-oracle convention)."""
-    d = scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    d = read_wide(spark, f"{sf_dir}/documents.parquet")
     langs = sorted(LANG_PROFILES)
     scored = d.select(
         "doc_id",
@@ -307,7 +307,7 @@ def common_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens among all token bytes; only computed for lang='en' docs (the
     reference has word lists for English only), NULL otherwise."""
     base = (
-        scan_wide(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        read_wide(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id", "lang", tokenize_expr(F.col("text")).alias("t"))
         .select("doc_id", "lang", F.explode_outer("t").alias("term"))
     )
