@@ -100,6 +100,23 @@ class IncrementalIndexer:
     validate_sha: bool = True
 
     def update(self, delta: DataFrame, input_token: str = "delta") -> dict:
+        """Public entry: runs the pinned body under try/finally so any
+        exception between a persist and its unpersist cannot leak cached
+        blocks for the session's lifetime (r5 ADVICE). unpersist is
+        idempotent, so frames the body already released are no-ops here."""
+        pins: list[DataFrame] = []
+        try:
+            return self._update_pinned(delta, input_token, pins)
+        finally:
+            for _df in pins:
+                try:
+                    _df.unpersist()
+                except Exception:
+                    pass
+
+    def _update_pinned(
+        self, delta: DataFrame, input_token: str, pins: list[DataFrame]
+    ) -> dict:
         spark = self.spark
         paths = IndexPaths(self.index_dir)
         _heal_swap(paths.postings)
@@ -144,6 +161,7 @@ class IncrementalIndexer:
         # joins, the tokenize pass) — without the pin each re-runs the
         # upstream sha2 validation filter over the delta's content.
         delta = _max_tuple_dedup(delta).persist()
+        pins.append(delta)
         # LIVE view of the corpus: doc_dict minus tombstoned ids (a changed
         # path's previous generation). Dead ids are PINNED driver-side (the
         # set is small by design — a full rebuild compacts it): every later
@@ -229,6 +247,7 @@ class IncrementalIndexer:
             manifest, manifest_persist, _, _ = assign_range_ids(
                 fresh, n_parts, base=max_id + 1
             )
+            pins.append(manifest_persist)
             with_ids = fresh.join(manifest, ["repo", "path"])
         if n_new == 0:
             delta.unpersist()
@@ -263,6 +282,7 @@ class IncrementalIndexer:
         tf_all = with_ids.select("doc_id", "content").mapInPandas(
             _tokenize_tf_map, TF_SCHEMA
         ).persist()
+        pins.append(tf_all)
 
         tf = tf_all.filter(F.col("term") != MARKER_TERM)
         bm_avgdl = float(stats["bm_avgdl"]) if "bm_avgdl" in stats.__fields__ else float(stats["avgdl"])
@@ -342,6 +362,7 @@ class IncrementalIndexer:
             .mapInPandas(encode_delta, POSTINGS_SCHEMA + ", tb int")
             .persist()  # consumed twice: affected-bucket collect + the merge
         )
+        pins.append(new_posts)
 
         # GENERATIONAL APPEND (r5): the delta's encoded postings are written
         # as NEW parquet files inside the existing tb partitions — no old
@@ -427,6 +448,7 @@ class IncrementalIndexer:
         doc_len = tf_all.filter(F.col("term") == MARKER_TERM).select(
             "doc_id", F.col("meta").cast("int").alias("doc_len")  # marker meta == dl
         ).persist()
+        pins.append(doc_len)
         delta_len = int(doc_len.agg(F.sum("doc_len")).collect()[0][0] or 0)
         tf_all.unpersist()  # both consumers materialized (doc_len has its own pin)
 
@@ -515,6 +537,7 @@ class IncrementalIndexer:
             (F.col("kind") == "terms") & ~F.col("tb").isin(affected)
         )
         terms_all = old_terms.unionByName(fresh_summ).persist()
+        pins.append(terms_all)
         # meta bloom: INCREMENTAL OR — fold only the DELTA's name=value words
         # into a partial bloom and bit-OR it with the stored meta row, so a
         # 1k-row update costs O(delta), not a full doc_dict scan (VERDICT r3
