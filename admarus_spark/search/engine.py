@@ -224,6 +224,19 @@ class SearchEngine:
         n_terms = stage2.get("n_terms")
         if n_terms is not None and n_terms <= 200_000:
             self.df_cache = _sum_df(self.postings.select("term", "df").collect())
+        # dictionary pin (r6): every query's final join re-scans the doc_dict
+        # parquet (~0.1-0.3 s/query measured at sf1.0); a serving engine
+        # keeps its dictionary hot, same philosophy as df_cache above. Size-
+        # gated like df_cache (rows known from stats — ~100 B/row, so the
+        # default 5M cap bounds the executor cache at a few hundred MB; a
+        # billion-doc index keeps the plain scan). Lazy: blocks materialize
+        # at first use. refresh() unpersists before re-init, so an external
+        # update is picked up exactly like the other init-time snapshots.
+        self._dd_persisted = False
+        dd_cache_max = int(os.environ.get("SPARK_GRAFT_DD_CACHE_MAX_DOCS", 5_000_000))
+        if self.n_docs <= dd_cache_max:
+            self.doc_dict = self.doc_dict.persist()
+            self._dd_persisted = True
 
     # --------------------------------------------------------------------
     def refresh(self) -> None:
@@ -238,6 +251,8 @@ class SearchEngine:
         (two O(1) summary collects + the size-gated dictionary cache) —
         cheap enough for a periodic refresh tick."""
         self.release_cache()
+        if getattr(self, "_dd_persisted", False):
+            self.doc_dict.unpersist()
         self.__init__(self.spark, self.paths.index_dir)
 
     # --- M1 bloom gate (matching.rs:19-41 semantics, u32 sum/gate) ------

@@ -579,6 +579,37 @@ def test_bmw_cross_term_pruning(docs_engine, docs_oracle):
     assert stats["theta"] > float("-inf")
 
 
+def test_doc_dict_pin_and_refresh_release(spark, movies_pdf, movies_oracle, tmp_path):
+    """r6: the engine pins its dictionary at init (size-gated); results are
+    unchanged, and refresh() releases the old pin before re-init so a
+    long-lived serving engine neither leaks cache nor serves a stale
+    dictionary snapshot after an external change."""
+    d = str(tmp_path / "idx_ddpin")
+    IndexBuilder(spark, d, n_buckets=4, salt_chunks=2).build(
+        spark.createDataFrame(movies_pdf), input_token="ddpin"
+    )
+    eng = SearchEngine(spark, d)
+    assert eng._dd_persisted  # gate admits the tiny corpus
+    assert eng.doc_dict.storageLevel.useMemory
+    run_parity(eng, movies_oracle, ["hunger", "hunger AND games"])
+    old_dd = eng.doc_dict
+    # storageLevel is plan-keyed, so with the re-pin active the old handle
+    # would report the NEW pin; gate the re-pin off to observe the release
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_DD_CACHE_MAX_DOCS"] = "0"
+    try:
+        eng.refresh()
+        assert not eng._dd_persisted  # gate respected
+        assert not old_dd.storageLevel.useMemory  # old pin released
+    finally:
+        del _os.environ["SPARK_GRAFT_DD_CACHE_MAX_DOCS"]
+    run_parity(eng, movies_oracle, ["hunger"])
+    eng.refresh()
+    assert eng._dd_persisted  # re-pinned once the gate admits again
+    run_parity(eng, movies_oracle, ["hunger"])
+
+
 def test_small_volume_gate_skips_driver_pruning(docs_engine, docs_oracle):
     """r6: under single_prune_min_postings, wand='auto' takes the
     full-decode path for multi-term shapes (no BMW probe, no rare-id fetch)
