@@ -229,13 +229,17 @@ class SearchEngine:
         # keeps its dictionary hot, same philosophy as df_cache above. Size-
         # gated like df_cache (rows known from stats — ~100 B/row, so the
         # default 5M cap bounds the executor cache at a few hundred MB; a
-        # billion-doc index keeps the plain scan). Lazy: blocks materialize
-        # at first use. refresh() unpersists before re-init, so an external
-        # update is picked up exactly like the other init-time snapshots.
+        # billion-doc index keeps the plain scan). Materialized EAGERLY:
+        # a serving engine preloads its dictionary before taking traffic,
+        # so the first query after init/refresh pays no cold scan (same
+        # reasoning as the eager df_cache collect above). refresh()
+        # unpersists before re-init, so an external update is picked up
+        # exactly like the other init-time snapshots.
         self._dd_persisted = False
         dd_cache_max = int(os.environ.get("SPARK_GRAFT_DD_CACHE_MAX_DOCS", 5_000_000))
         if self.n_docs <= dd_cache_max:
             self.doc_dict = self.doc_dict.persist()
+            self.doc_dict.count()
             self._dd_persisted = True
 
     # --------------------------------------------------------------------
